@@ -1,0 +1,44 @@
+"""Backend configuration: device selection and dispatch thresholds.
+
+The TPU path activates automatically when JAX is importable and not disabled
+via ZKSNAKE_TPU_DISABLE=1. Small inputs stay on the host bigint path (device
+round-trip latency dominates below the threshold).
+"""
+
+import os
+
+_DISABLE = os.environ.get("ZKSNAKE_TPU_DISABLE", "0") == "1"
+
+# Below these sizes the host path wins on latency.
+MSM_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_MSM_THRESHOLD", "256"))
+BATCHMUL_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_BATCHMUL_THRESHOLD", "64"))
+NTT_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_NTT_THRESHOLD", "512"))
+
+_jax_state = {"checked": False, "available": False}
+
+CACHE_DIR = os.environ.get(
+    "ZKSNAKE_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+)
+
+
+def jax_available():
+    if _DISABLE:
+        return False
+    if not _jax_state["checked"]:
+        try:
+            import jax
+
+            try:
+                jax.config.update("jax_compilation_cache_dir", os.path.abspath(CACHE_DIR))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
+            _jax_state["available"] = True
+        except Exception:  # pragma: no cover
+            _jax_state["available"] = False
+        _jax_state["checked"] = True
+    return _jax_state["available"]
+
+
+def use_device(n, threshold):
+    return jax_available() and n >= threshold

@@ -1,0 +1,257 @@
+"""Batched modular arithmetic kernels over 16-bit-limb tensors.
+
+This module replaces the reference's arkworks Montgomery field arithmetic
+(the workhorse under src/bn254/polynomial.rs and src/bn254/curve.rs) with
+TPU-friendly vectorized kernels:
+
+- Elements are stored **limbs-first**: shape (NL, *batch) of uint32 lanes
+  holding 16-bit limbs (little-endian). The batch dimension is the trailing
+  one so it maps onto the TPU's (8 sublane x 128 lane) vector tiles with full
+  utilization; a limbs-last layout would waste 7/8 of every tile.
+- Montgomery multiplication is CIOS with *lazy carries*: limb products fit
+  uint32 exactly ((2^16-1)^2 < 2^32) and column accumulators stay < 2^23, so
+  no 64-bit arithmetic is ever needed (int64 is emulated on TPU).
+- The accumulator is a Python list of per-column tensors: every update is a
+  plain elementwise add that XLA fuses. (Dynamic-update-slice chains compile
+  pathologically on TPU — measured 250s vs 14s for this kernel.)
+- All loops are static (unrolled under jit) except large exponentiations,
+  which ride a fori_loop with the exponent bits as a constant array.
+
+All values on device are kept in Montgomery form (x * R mod p, R = 2^(16*NL)).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .limbs import W, MASK, n_limbs, ints_to_limbs, limbs_to_ints
+
+
+class FieldSpec:
+    """Per-modulus constants for the limb kernels."""
+
+    _CACHE = {}
+
+    def __init__(self, p: int):
+        self.p = p
+        self.nl = n_limbs(p)
+        self.R = (1 << (W * self.nl)) % p
+        self.R2 = self.R * self.R % p
+        self.p_limbs = np.array(
+            [(p >> (W * i)) & MASK for i in range(self.nl)], dtype=np.uint32
+        )
+        # -p^-1 mod 2^16
+        self.pinv = (-pow(p, -1, 1 << W)) % (1 << W)
+        self.one_mont = np.array(
+            [(self.R >> (W * i)) & MASK for i in range(self.nl)], dtype=np.uint32
+        )
+
+    @classmethod
+    def get(cls, p: int):
+        if p not in cls._CACHE:
+            cls._CACHE[p] = cls(p)
+        return cls._CACHE[p]
+
+    # ---------- host-side conversions (limbs-first device layout) ----------
+    def to_mont_host(self, values):
+        """ints -> (nl, n) Montgomery limb array (numpy)."""
+        p = self.p
+        R = self.R
+        return np.ascontiguousarray(
+            ints_to_limbs([int(v) % p * R % p for v in values], self.nl).T
+        )
+
+    def from_mont_host(self, arr):
+        """(nl, n) Montgomery limb array -> ints."""
+        rinv = pow(self.R, -1, self.p)
+        rows = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).T)
+        return [v * rinv % self.p for v in limbs_to_ints(rows)]
+
+    def raw_to_host(self, values):
+        """ints (mod p, NOT Montgomery) -> (nl, n) limb array (numpy)."""
+        return np.ascontiguousarray(
+            ints_to_limbs([int(v) % self.p for v in values], self.nl).T
+        )
+
+    def raw_from_host(self, arr):
+        rows = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).T)
+        return limbs_to_ints(rows)
+
+    def one_mont_dev(self, batch_shape=()):
+        """Montgomery 1 broadcast to (nl, *batch_shape)."""
+        v = jnp.asarray(self.one_mont).reshape((self.nl,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
+
+    def const_mont_dev(self, value: int, batch_shape=()):
+        m = int(value) % self.p * self.R % self.p
+        limbs = np.array([(m >> (W * i)) & MASK for i in range(self.nl)], np.uint32)
+        v = jnp.asarray(limbs).reshape((self.nl,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
+
+
+def _carry_chain(cols, nl):
+    """cols: list of nl (...,) tensors -> (nl, ...) normalized limbs (< 2^16).
+    Caller guarantees the true value fits nl limbs."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for j in range(nl):
+        v = cols[j] + carry
+        out.append(v & MASK)
+        carry = v >> W
+    return jnp.stack(out, axis=0)
+
+
+def _cond_sub_p(fs, r):
+    """r in [0, 2p) with normalized limbs (nl, ...) -> r mod p."""
+    borrow = jnp.zeros_like(r[0], dtype=jnp.int32)
+    diff = []
+    ri = r.astype(jnp.int32)
+    for j in range(fs.nl):
+        d = ri[j] - jnp.int32(int(fs.p_limbs[j])) - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        diff.append((d + (borrow << W)).astype(jnp.uint32))
+    diff = jnp.stack(diff, axis=0)
+    ge = borrow == 0  # r >= p
+    return jnp.where(ge[None], diff, r)
+
+
+def _place(x, offset, ncols):
+    """Pad x (k, ...) so its rows occupy columns [offset, offset+k) of ncols."""
+    k = x.shape[0]
+    cfg = [(offset, ncols - offset - k, 0)] + [(0, 0, 0)] * (x.ndim - 1)
+    import jax.lax as lax
+
+    return lax.pad(x, jnp.uint32(0), cfg)
+
+
+def mont_mul(fs, a, b):
+    """Montgomery product: (a * b * R^-1) mod p. a, b: (nl, ...) limb tensors.
+
+    Column accumulation uses lax.pad placement (vector adds over the full
+    column tensor) instead of per-column scalar updates — ~5x fewer traced
+    ops, which keeps fori_loop bodies (point adds = ~15 of these) tractable
+    to trace and compile.
+    """
+    nl = fs.nl
+    ncols = 2 * nl + 1
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def _bc(x):
+        extra = len(shape) - (x.ndim - 1)
+        x = x.reshape((nl,) + (1,) * extra + x.shape[1:])
+        return jnp.broadcast_to(x, (nl,) + shape)
+
+    a = _bc(a)
+    b = _bc(b)
+    t = jnp.zeros((ncols,) + shape, dtype=jnp.uint32)
+
+    # schoolbook product with 16-bit split accumulation
+    for i in range(nl):
+        prod = a[i] * b  # (nl, ...) uint32, exact
+        t = t + _place(prod & MASK, i, ncols)
+        t = t + _place(prod >> W, i + 1, ncols)
+
+    # interleaved Montgomery reduction
+    p_col = jnp.asarray(fs.p_limbs).reshape((nl,) + (1,) * len(shape))
+    for i in range(nl):
+        m = ((t[i] & MASK) * fs.pinv) & MASK
+        prod = m[None] * p_col  # (nl, ...)
+        t = t + _place(prod & MASK, i, ncols)
+        t = t + _place(prod >> W, i + 1, ncols)
+        t = t + _place((t[i] >> W)[None], i + 1, ncols)
+
+    r = _carry_chain([t[j] for j in range(nl, 2 * nl)], nl)
+    return _cond_sub_p(fs, r)
+
+
+def mont_sqr(fs, a):
+    return mont_mul(fs, a, a)
+
+
+def mod_add(fs, a, b):
+    s = a + b  # limbs < 2^17
+    r = _carry_chain([s[j] for j in range(fs.nl)], fs.nl)
+    return _cond_sub_p(fs, r)
+
+
+def mod_sub(fs, a, b):
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    diff = []
+    ai = a.astype(jnp.int32)
+    bi = b.astype(jnp.int32)
+    for j in range(fs.nl):
+        d = ai[j] - bi[j] - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        diff.append((d + (borrow << W)).astype(jnp.uint32))
+    # where we borrowed past the top limb, add p back
+    add_p = borrow.astype(jnp.uint32)
+    carry = jnp.zeros_like(a[0])
+    fixed = []
+    for j in range(fs.nl):
+        v = diff[j] + add_p * int(fs.p_limbs[j]) + carry
+        fixed.append(v & MASK)
+        carry = v >> W
+    return jnp.stack(fixed, axis=0)
+
+
+def mod_neg(fs, a):
+    zero = jnp.zeros_like(a)
+    r = mod_sub(fs, zero, a)
+    is_zero = jnp.all(a == 0, axis=0, keepdims=True)
+    return jnp.where(is_zero, zero, r)
+
+
+def to_mont(fs, raw):
+    """raw limbs (value < p) -> Montgomery form, on device."""
+    r2 = np.array(
+        [(fs.R2 >> (W * i)) & MASK for i in range(fs.nl)], dtype=np.uint32
+    )
+    return mont_mul(fs, raw, jnp.asarray(r2).reshape((fs.nl,) + (1,) * (raw.ndim - 1)))
+
+
+def from_mont(fs, mont):
+    """Montgomery form -> raw limbs, on device (multiply by 1)."""
+    one = np.zeros(fs.nl, dtype=np.uint32)
+    one[0] = 1
+    return mont_mul(fs, mont, jnp.asarray(one).reshape((fs.nl,) + (1,) * (mont.ndim - 1)))
+
+
+def mont_pow_static(fs, a, e: int):
+    """a^e for a small static exponent (unrolled square-and-multiply)."""
+    result = fs.one_mont_dev(a.shape[1:])
+    base = a
+    while e > 0:
+        if e & 1:
+            result = mont_mul(fs, result, base)
+        base = mont_sqr(fs, base)
+        e >>= 1
+    return result
+
+
+def mont_pow_int(fs, a, e: int):
+    """a^e for a large static exponent via fori_loop (compact graph)."""
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+    one = fs.one_mont_dev(a.shape[1:])
+
+    def body(i, carry):
+        result, base = carry
+        cand = mont_mul(fs, result, base)
+        result = jnp.where(bits[i][None] == 1, cand, result)
+        base = mont_sqr(fs, base)
+        return (result, base)
+
+    result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return result
+
+
+def mont_inv(fs, a):
+    """Batched inversion via Fermat (a^(p-2)); a must be nonzero."""
+    return mont_pow_int(fs, a, fs.p - 2)
+
+
+def eq_zero(fs, a):
+    return jnp.all(a == 0, axis=0)
