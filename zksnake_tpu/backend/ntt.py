@@ -1,0 +1,181 @@
+"""Number-theoretic transform (radix-2) over the scalar fields, on device.
+
+Replaces arkworks `GeneralEvaluationDomain::{fft, ifft, coset_fft, coset_ifft}`
+(/root/reference/src/bn254/polynomial.rs:535-585) with jit-compiled batched
+butterfly stages over limb tensors.
+
+Domain convention matches arkworks Radix2EvaluationDomain:
+- size n = next power of two; omega = g^((r-1)/2^s) with 2^s = n, where g is
+  the field's 2-adic root (generator^((r-1) >> two_adicity)).
+- coset quirk preserved: the reference's `coset_fft` uses offset == omega
+  itself (GeneralEvaluationDomain::get_coset(domain, group_gen),
+  polynomial.rs:553-556), i.e. it evaluates at omega^(i+1).
+
+Structure: decimation-in-time with a bit-reversal pre-gather, then log2(n)
+stages of (n/m, m)-blocked butterflies; twiddles come from one precomputed
+power table sliced with static strides. All Montgomery-domain.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import FieldSpec, mont_mul, mod_add, mod_sub
+
+
+class Domain:
+    """Radix-2 evaluation domain over Fr with cached device twiddles."""
+
+    _CACHE = {}
+
+    def __init__(self, r: int, n: int, two_adicity: int, generator: int):
+        assert n & (n - 1) == 0, "domain size must be a power of two"
+        self.r = r
+        self.n = n
+        self.fs = FieldSpec.get(r)
+        root = pow(generator, (r - 1) >> two_adicity, r)
+        logn = n.bit_length() - 1
+        assert logn <= two_adicity, "domain too large for field 2-adicity"
+        self.omega = pow(root, 1 << (two_adicity - logn), r)
+        self.omega_inv = pow(self.omega, -1, r)
+        self.n_inv = pow(n, -1, r)
+
+        # host-side power tables (plain ints)
+        w = 1
+        powers = []
+        for _ in range(max(n // 2, 1)):
+            powers.append(w)
+            w = w * self.omega % r
+        self.powers_host = powers
+
+        self._tw = None
+        self._tw_inv = None
+        self._bitrev = None
+
+    @classmethod
+    def get(cls, curve_or_field, n):
+        """curve_or_field: CurveParams, or (r, two_adicity, generator) tuple."""
+        if isinstance(curve_or_field, tuple):
+            r, ta, g = curve_or_field
+        else:
+            r, ta, g = (
+                curve_or_field.r,
+                curve_or_field.fr_two_adicity,
+                curve_or_field.fr_generator,
+            )
+        key = (r, n)
+        if key not in cls._CACHE:
+            cls._CACHE[key] = cls(r, n, ta, g)
+        return cls._CACHE[key]
+
+    # --- device tables ---
+    def twiddles(self, inverse=False):
+        if inverse:
+            if self._tw_inv is None:
+                r = self.r
+                w = 1
+                pw = []
+                for _ in range(max(self.n // 2, 1)):
+                    pw.append(w)
+                    w = w * self.omega_inv % r
+                self._tw_inv = jnp.asarray(self.fs.to_mont_host(pw))
+            return self._tw_inv
+        if self._tw is None:
+            self._tw = jnp.asarray(self.fs.to_mont_host(self.powers_host))
+        return self._tw
+
+    def bitrev(self):
+        if self._bitrev is None:
+            n = self.n
+            logn = n.bit_length() - 1
+            idx = np.arange(n)
+            rev = np.zeros(n, dtype=np.int32)
+            for b in range(logn):
+                rev |= ((idx >> b) & 1) << (logn - 1 - b)
+            self._bitrev = jnp.asarray(rev)
+        return self._bitrev
+
+
+def _ntt_core(dom: Domain, x, tw):
+    """x: (nl, n) Montgomery coeffs -> (nl, n) evaluations (natural order)."""
+    fs = dom.fs
+    n = dom.n
+    if n == 1:
+        return x
+    logn = n.bit_length() - 1
+    x = jnp.take(x, dom.bitrev(), axis=1)
+    for s in range(1, logn + 1):
+        m = 1 << s
+        stride = n // m
+        # twiddles for this stage: tw[0::stride][:m/2], shape (nl, m/2)
+        w = tw[:, ::stride][:, : m // 2]
+        xb = x.reshape(fs.nl, n // m, m)
+        u = xb[:, :, : m // 2]
+        t = mont_mul(fs, xb[:, :, m // 2 :], w[:, None, :])
+        x = jnp.concatenate([mod_add(fs, u, t), mod_sub(fs, u, t)], axis=2)
+        x = x.reshape(fs.nl, n)
+    return x
+
+
+def ntt_device(dom: Domain, x):
+    return _ntt_core(dom, x, dom.twiddles(False))
+
+
+def intt_device(dom: Domain, x):
+    y = _ntt_core(dom, x, dom.twiddles(True))
+    scale = dom.fs.const_mont_dev(dom.n_inv, (1,))
+    return mont_mul(dom.fs, y, scale)
+
+
+def coset_scale(dom: Domain, x, inverse=False):
+    """Multiply element i by offset^i (offset = omega, the reference quirk)."""
+    fs = dom.fs
+    r = dom.r
+    g = dom.omega_inv if inverse else dom.omega
+    pw = []
+    w = 1
+    for _ in range(dom.n):
+        pw.append(w)
+        w = w * g % r
+    table = jnp.asarray(fs.to_mont_host(pw))
+    return mont_mul(fs, x, table)
+
+
+class _NttKernels:
+    _cache = {}
+
+    @classmethod
+    def get(cls, dom: Domain, kind: str):
+        key = (dom.r, dom.n, kind)
+        if key not in cls._cache:
+            if kind == "fft":
+                fn = lambda x: ntt_device(dom, x)
+            elif kind == "ifft":
+                fn = lambda x: intt_device(dom, x)
+            elif kind == "coset_fft":
+                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False))
+            elif kind == "coset_ifft":
+                fn = lambda x: coset_scale(dom, intt_device(dom, x), True)
+            else:
+                raise ValueError(kind)
+            cls._cache[key] = jax.jit(fn)
+        return cls._cache[key]
+
+
+def _resize(vals, n):
+    """arkworks semantics: Vec::resize — pad with zeros or truncate."""
+    if len(vals) >= n:
+        return vals[:n]
+    return list(vals) + [0] * (n - len(vals))
+
+
+def transform_host(curve_or_field, vals, size, kind):
+    """Host entry: list of ints -> list of ints via the device NTT."""
+    from ..utils import next_power_of_two
+
+    n = next_power_of_two(size) if size > 1 else 1
+    dom = Domain.get(curve_or_field, n)
+    vals = _resize([int(v) % dom.r for v in vals], n)
+    x = jnp.asarray(dom.fs.to_mont_host(vals))
+    y = _NttKernels.get(dom, kind)(x)
+    return dom.fs.from_mont_host(np.asarray(y))
