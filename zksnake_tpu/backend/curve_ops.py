@@ -19,6 +19,14 @@ import jax.numpy as jnp
 from .field import FieldSpec, mont_mul, mod_add, mod_sub
 
 
+def _expand(x, nl, batch_shape):
+    """Broadcast a (nl, *some_batch) limb tensor to (nl, *batch_shape),
+    right-aligning the batch dims (so (nl,) constants broadcast)."""
+    extra = len(batch_shape) - (x.ndim - 1)
+    x = x.reshape((nl,) + (1,) * extra + x.shape[1:])
+    return jnp.broadcast_to(x, (nl,) + tuple(batch_shape))
+
+
 class DevFq:
     """Device adapter for prime-field coordinate arithmetic on (NL, ...) limbs."""
 
@@ -27,6 +35,21 @@ class DevFq:
 
     def mul(self, a, b):
         return mont_mul(self.fs, a, b)
+
+    def mul_many(self, pairs):
+        """Batch k independent products into ONE stacked mont_mul: the unrolled
+        CIOS graph is instantiated once instead of k times (compile time) and
+        the VPU sees k-times-wider batches (throughput)."""
+        k = len(pairs)
+        if k == 1:
+            return [self.mul(*pairs[0])]
+        nl = self.fs.nl
+        batch = jnp.broadcast_shapes(*[x.shape[1:] for x, _ in pairs],
+                                     *[y.shape[1:] for _, y in pairs])
+        xs = jnp.stack([_expand(x, nl, batch) for x, _ in pairs], axis=1)
+        ys = jnp.stack([_expand(y, nl, batch) for _, y in pairs], axis=1)
+        prod = mont_mul(self.fs, xs, ys)
+        return [prod[:, i] for i in range(k)]
 
     def add(self, a, b):
         return mod_add(self.fs, a, b)
@@ -58,15 +81,35 @@ class DevFq2:
         self.fs = fs
 
     def mul(self, a, b):
-        a0, a1 = a
-        b0, b1 = b
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """Karatsuba Fq2 products for all pairs fused into one stacked
+        mont_mul (3 limbs-level products per pair, batched across pairs)."""
         fs = self.fs
-        t0 = mont_mul(fs, a0, b0)
-        t1 = mont_mul(fs, a1, b1)
-        t2 = mont_mul(fs, mod_add(fs, a0, a1), mod_add(fs, b0, b1))
-        c0 = mod_sub(fs, t0, t1)
-        c1 = mod_sub(fs, mod_sub(fs, t2, t0), t1)
-        return (c0, c1)
+        nl = fs.nl
+        k = len(pairs)
+        batch = jnp.broadcast_shapes(
+            *[a[0].shape[1:] for a, _ in pairs], *[b[0].shape[1:] for _, b in pairs]
+        )
+        xs, ys = [], []
+        for (a0, a1), (b0, b1) in pairs:
+            a0 = _expand(a0, nl, batch)
+            a1 = _expand(a1, nl, batch)
+            b0 = _expand(b0, nl, batch)
+            b1 = _expand(b1, nl, batch)
+            xs.extend([a0, a1, mod_add(fs, a0, a1)])
+            ys.extend([b0, b1, mod_add(fs, b0, b1)])
+        prod = mont_mul(fs, jnp.stack(xs, axis=1), jnp.stack(ys, axis=1))
+        out = []
+        for i in range(k):
+            t0 = prod[:, 3 * i]
+            t1 = prod[:, 3 * i + 1]
+            t2 = prod[:, 3 * i + 2]
+            c0 = mod_sub(fs, t0, t1)
+            c1 = mod_sub(fs, mod_sub(fs, t2, t0), t1)
+            out.append((c0, c1))
+        return out
 
     def add(self, a, b):
         fs = self.fs
@@ -115,52 +158,63 @@ class GroupSpec:
         return (F.zeros(shape), F.one(shape), F.zeros(shape))
 
     def add(self, P, Q):
-        """Complete projective addition (RCB15 Algorithm 7, a=0)."""
+        """Complete projective addition (RCB15 Algorithm 7, a=0).
+
+        The 14 field products are batched into 3 stacked mont_mul calls by
+        dependency level (6 + 2 + 6) — smaller graphs, wider batches."""
         F = self.F
         b3 = self.b3
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
-        t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-        t4 = F.sub(t4, F.add(t1, t2))  # Y1Z2 + Y2Z1
-        t5 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-        t5 = F.sub(t5, F.add(t0, t2))  # X1Z2 + X2Z1
+        t0, t1, t2, s3, s4, s5 = F.mul_many(
+            [
+                (X1, X2),
+                (Y1, Y2),
+                (Z1, Z2),
+                (F.add(X1, Y1), F.add(X2, Y2)),
+                (F.add(Y1, Z1), F.add(Y2, Z2)),
+                (F.add(X1, Z1), F.add(X2, Z2)),
+            ]
+        )
+        t3 = F.sub(s3, F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.sub(s4, F.add(t1, t2))  # Y1Z2 + Y2Z1
+        t5 = F.sub(s5, F.add(t0, t2))  # X1Z2 + X2Z1
         t0_3 = F.add(F.add(t0, t0), t0)  # 3 X1X2
-        t2b = F.mul(b3, t2)
-        z3 = F.add(t1, t2b)
+        t2b, y3p = F.mul_many([(b3, t2), (b3, t5)])
+        z3s = F.add(t1, t2b)
         t1m = F.sub(t1, t2b)
-        y3 = F.mul(b3, t5)
-        x3 = F.sub(F.mul(t3, t1m), F.mul(t4, y3))
-        y3 = F.add(F.mul(y3, t0_3), F.mul(t1m, z3))
-        z3 = F.add(F.mul(z3, t4), F.mul(t0_3, t3))
+        x3a, x3b, y3a, y3b, z3a, z3b = F.mul_many(
+            [
+                (t3, t1m),
+                (t4, y3p),
+                (y3p, t0_3),
+                (t1m, z3s),
+                (z3s, t4),
+                (t0_3, t3),
+            ]
+        )
+        x3 = F.sub(x3a, x3b)
+        y3 = F.add(y3a, y3b)
+        z3 = F.add(z3a, z3b)
         return (x3, y3, z3)
 
     def double(self, P):
-        """Complete doubling (RCB15 Algorithm 9, a=0)."""
+        """Complete doubling (RCB15 Algorithm 9, a=0); products batched by
+        dependency level (3 + 1 + 3 + 2 stacked mont_mul calls)."""
         F = self.F
         b3 = self.b3
         X, Y, Z = P
-        t0 = F.mul(Y, Y)
+        t0, t1, t2 = F.mul_many([(Y, Y), (Y, Z), (Z, Z)])
         z3 = F.add(F.add(t0, t0), F.add(t0, t0))
         z3 = F.add(z3, z3)  # 8 Y^2
-        t1 = F.mul(Y, Z)
-        t2 = F.mul(Z, Z)
-        t2 = F.mul(b3, t2)
-        x3 = F.mul(t2, z3)
-        y3 = F.add(t0, t2)
-        z3 = F.mul(t1, z3)
-        t1 = F.add(t2, t2)
-        t2 = F.add(t1, t2)
-        t0 = F.sub(t0, t2)
-        y3 = F.mul(t0, y3)
-        y3 = F.add(x3, y3)
-        t1 = F.mul(X, Y)
-        x3 = F.mul(t0, t1)
-        x3 = F.add(x3, x3)
+        (t2b,) = F.mul_many([(b3, t2)])
+        x3, z3, txy = F.mul_many([(t2b, z3), (t1, z3), (X, Y)])
+        y3 = F.add(t0, t2b)
+        tt = F.add(F.add(t2b, t2b), t2b)
+        t0 = F.sub(t0, tt)
+        y3m, x3m = F.mul_many([(t0, y3), (t0, txy)])
+        y3 = F.add(x3, y3m)
+        x3 = F.add(x3m, x3m)
         return (x3, y3, z3)
 
     def select(self, cond, P, Q):

@@ -1,0 +1,193 @@
+"""Multi-chip sharding: MSM and NTT over a jax.sharding.Mesh.
+
+This is the rebuild's scale-out story (the reference has none — SURVEY.md
+section 2.1: rayon-only, single process). Design per BASELINE.json:
+
+- MSM: points sharded across the mesh ("dp over points"); each device runs
+  the local batched kernel and tree-reduces to one partial point; partials
+  are combined with an all_gather + local fold (group addition is not a psum-
+  able integer op, but the partials are tiny — 3 coordinates).
+- NTT: distributed four-step algorithm. With coefficients viewed as an
+  (n1, n2) matrix (j = i1 + n1*i2), stage 1 runs local length-n2 NTTs along
+  the unsharded axis, stage 2 applies twiddles, and stage 3's length-n1 NTTs
+  along the sharded axis are made local by an all_to_all transpose across the
+  ICI — exactly the "butterflies local until the stride exceeds the shard"
+  plan from SURVEY.md section 5.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .field import FieldSpec, mont_mul
+from .ntt import Domain, _ntt_core
+from .msm import _double_and_add, _tree_reduce
+from .curve_ops import get_group_spec
+
+
+def make_mesh(n_devices=None, devices=None, axis="shards"):
+    """1-D device mesh. Prefers explicit devices; falls back to the default
+    backend's devices (or the CPU backend when it has enough virtual chips)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpus = jax.devices("cpu")
+                if len(cpus) >= n_devices:
+                    devices = cpus
+            except RuntimeError:
+                pass
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---------------------------------------------------------------- MSM ----
+
+
+def sharded_msm_fn(gs, mesh, axis="shards"):
+    """Returns a jittable fn(P, slimbs) computing the full MSM with points
+    and scalars sharded over `axis`. Output is replicated (one point)."""
+
+    def local_msm(Px, Py, Pz, slimbs):
+        n_local = slimbs.shape[1]
+        nbits = slimbs.shape[0] * 16
+        acc = _double_and_add(gs, (Px, Py, Pz), slimbs, nbits)
+        partial = _tree_reduce(gs, acc, n_local)
+        # combine partials: all_gather (tiny: one point each) + local fold
+        gathered = jax.lax.all_gather(partial, axis)  # leaves: (D, nl) etc.
+        ndev = mesh.shape[axis]
+        total = jax.tree_util.tree_map(lambda t: t[0], gathered)
+        for d in range(1, ndev):
+            nxt = jax.tree_util.tree_map(lambda t: t[d], gathered)
+            total = gs.add(total, nxt)
+        return total
+
+    if gs.group == 1:
+        in_specs = (P(None, axis), P(None, axis), P(None, axis), P(None, axis))
+
+        def fn(Pts, slimbs):
+            X, Y, Z = Pts
+            return jax.shard_map(
+                local_msm,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )(X, Y, Z, slimbs)
+
+        return fn
+    else:
+        raise NotImplementedError("sharded MSM currently targets G1")
+
+
+# ---------------------------------------------------------------- NTT ----
+
+
+def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
+    """Distributed four-step NTT over domain `dom` of size n = n1 * n2.
+
+    Input: coefficients as an (nl, n1, n2) limb tensor with the n1 axis
+    sharded, where coeff index j = i1 + n1 * i2 lives at [:, i1, i2].
+    Output: evaluations as (nl, n2, n1) with the n2 axis sharded, where
+    A[k2 + n2 * k1] lives at [:, k2, k1] (the natural four-step output
+    transpose; callers undo it on gather or keep working in-layout).
+    """
+    fs = dom.fs
+    n = dom.n
+    n2 = n // n1
+    assert n1 * n2 == n
+    r = dom.r
+    ndev = mesh.shape[axis]
+    assert n1 % ndev == 0 and n2 % ndev == 0
+
+    # sub-domains: omega_n2 = omega^n1 for rows, omega_n1 = omega^n2 for cols
+    class _SubDomain:
+        def __init__(self, omega, size):
+            self.fs = fs
+            self.r = r
+            self.n = size
+            self.omega = omega
+            self.omega_inv = pow(omega, -1, r)
+            self.n_inv = pow(size, -1, r)
+            w = 1
+            self.powers_host = []
+            for _ in range(max(size // 2, 1)):
+                self.powers_host.append(w)
+                w = w * omega % r
+            self._tw = None
+            self._tw_inv = None
+            self._bitrev = None
+
+        twiddles = Domain.twiddles
+        bitrev = Domain.bitrev
+
+    row_dom = _SubDomain(pow(dom.omega, n1, r), n2)
+    col_dom = _SubDomain(pow(dom.omega, n2, r), n1)
+
+    # stage-2 twiddle matrix W[i1, k2] = omega^(i1 * k2), shape (nl, n1, n2)
+    om = dom.omega
+    twl = np.zeros((fs.nl, n1, n2), dtype=np.uint32)
+    for i1 in range(n1):
+        vals = []
+        w = 1
+        base = pow(om, i1, r)
+        for _ in range(n2):
+            vals.append(w)
+            w = w * base % r
+        twl[:, i1, :] = fs.to_mont_host(vals)
+    tw_dev = jnp.asarray(twl)
+
+    def local_fourstep(x, tw_local):
+        # x: (nl, n1/D, n2) local rows
+        # stage 1: length-n2 NTT along the last axis for each local row
+        # (_ntt_core expects (nl, n), so vmap over the row axis)
+        def row_ntt(v):
+            return _ntt_core(row_dom, v, row_dom.twiddles(False))
+
+        x1 = jax.vmap(row_ntt, in_axes=1, out_axes=1)(x)  # (nl, rows, n2)
+        # stage 2: twiddle multiply
+        x2 = mont_mul(fs, x1, tw_local)
+        # stage 3: all_to_all transpose -> (nl, n2/D, n1), then local NTTs
+        xt = jax.lax.all_to_all(x2, axis, split_axis=2, concat_axis=1, tiled=True)
+        # xt: (nl, rows * D = n1 ... careful) -> shape (nl, n1, n2/D)? verify:
+        # split n2 into D chunks, concat on row axis: (nl, n1/D * D, n2/D)
+        # = (nl, n1, n2/D); transpose local axes to (nl, n2/D, n1)
+        xt = jnp.swapaxes(xt, 1, 2)
+
+        def col_ntt(v):
+            return _ntt_core(col_dom, v, col_dom.twiddles(False))
+
+        x3 = jax.vmap(col_ntt, in_axes=1, out_axes=1)(xt)  # (nl, n2/D, n1)
+        return x3
+
+    def fn(x):
+        return jax.shard_map(
+            local_fourstep,
+            mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, axis, None)),
+            out_specs=P(None, axis, None),
+            check_vma=False,
+        )(x, tw_dev)
+
+    return fn
+
+
+def fourstep_input_layout(fs, coeffs_ints, n1, n2):
+    """Host: coefficient list -> (nl, n1, n2) Montgomery limbs with
+    j = i1 + n1*i2 at [:, i1, i2]."""
+    n = n1 * n2
+    vals = list(coeffs_ints) + [0] * (n - len(coeffs_ints))
+    arr = fs.to_mont_host(vals)  # (nl, n) in index order j
+    return np.ascontiguousarray(arr.reshape(fs.nl, n2, n1).swapaxes(1, 2))
+
+
+def fourstep_output_to_natural(fs, out, n1, n2):
+    """Host: (nl, n2, n1) four-step output -> evaluation list in natural
+    order (A[k2 + n2*k1] at [:, k2, k1])."""
+    arr = np.asarray(out)  # (nl, n2, n1)
+    flat = arr.swapaxes(1, 2).reshape(fs.nl, n1 * n2)  # index k2 + n2*k1...
+    # [:, k1, k2] after swap; flatten gives index k1*n2 + k2 -> value A[k2 + n2*k1]
+    # which IS natural order: A[m] where m = k2 + n2*k1 lives at position k1*n2+k2=m
+    return fs.from_mont_host(flat)
