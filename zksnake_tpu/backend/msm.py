@@ -65,10 +65,11 @@ def _next_pow2(n):
 
 
 class _Kernels:
-    """jit-compiled kernels cached per (curve, group, padded size)."""
+    """jit-compiled kernels cached per (curve, group, size signature)."""
 
     _msm = {}
     _batch = {}
+    _pip = {}
 
     @classmethod
     def msm(cls, gs, n_pad, nbits):
@@ -82,6 +83,18 @@ class _Kernels:
 
             cls._msm[key] = kernel
         return cls._msm[key]
+
+    @classmethod
+    def pippenger(cls, gs, n, nbits, c):
+        key = (gs.curve.name, gs.group, n, nbits, c)
+        if key not in cls._pip:
+
+            @jax.jit
+            def kernel(P, slimbs):
+                return msm_pippenger(gs, P, slimbs, c)
+
+            cls._pip[key] = kernel
+        return cls._pip[key]
 
     @classmethod
     def batch(cls, gs, nbits):
@@ -105,21 +118,126 @@ def _pad_points(gs, P, n, n_pad):
     )
 
 
+# ------------------------------------------------------------------
+# Pippenger bucket MSM
+#
+# Scatter-adds of group elements don't exist, so bucket accumulation uses a
+# sorted, conflict-free striping: sort points by window digit, compute each
+# element's rank within its run, and in round k add every run's rank-k
+# element into its bucket — all digits distinct within a round, so a single
+# masked 2^c-lane point-add per round accumulates without conflicts. Rounds
+# = longest run (~N/2^c for random scalars; a while_loop handles the
+# data-dependent count). Bucket reduction computes sum_b b*S_b as the sum of
+# suffix sums (log-depth roll scans); windows combine by Horner under one
+# lax.scan so the whole MSM compiles a single window body.
+# ------------------------------------------------------------------
+
+
+def _window_digits(slimbs, c, nbits):
+    """(SL, N) 16-bit limbs -> (W, N) c-bit window digits, HIGH window first."""
+    sl, n = slimbs.shape
+    W = -(-nbits // c)
+    rows = []
+    for w in range(W - 1, -1, -1):
+        bit = w * c
+        li = bit // 16
+        ofs = bit % 16
+        d = slimbs[li] >> ofs
+        have = 16 - ofs
+        while have < c and li + 1 + (have - (16 - ofs)) // 16 < sl:
+            nxt = li + 1 + (have - (16 - ofs)) // 16
+            d = d | (slimbs[nxt] << have)
+            have += 16
+        rows.append(d & ((1 << c) - 1))
+    return jnp.stack(rows, axis=0)
+
+
+def msm_pippenger(gs, P, slimbs, c=12):
+    """Full MSM via bucket method. P: projective coords (NL, N); slimbs:
+    (SL, N) raw 16-bit scalar limbs. Returns one projective point."""
+    n = slimbs.shape[1]
+    nbits = slimbs.shape[0] * 16
+    B = 1 << c
+    digits = _window_digits(slimbs, c, nbits)  # (W, N) high-first
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+
+    def window_body(result, dw):
+        order = jnp.argsort(dw)
+        ds = dw[order].astype(jnp.int32)
+        Ps = jax.tree_util.tree_map(lambda t: t[:, order], P)
+
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]]
+        )
+        run_start = jax.lax.cummax(jnp.where(is_start, iota_n, 0))
+        rank = iota_n - run_start
+        maxrun = jnp.max(rank) + 1
+
+        starts_by_digit = jnp.zeros((B,), jnp.int32).at[ds].set(run_start)
+        ends_by_digit = jnp.full((B,), -1, jnp.int32).at[ds].max(iota_n)
+        len_by_digit = ends_by_digit - starts_by_digit + 1
+        has_digit = ends_by_digit >= 0
+
+        buckets = gs.identity((B,))
+
+        def round_body(state):
+            k, buckets = state
+            pos = jnp.clip(starts_by_digit + k, 0, n - 1)
+            valid = has_digit & (k < len_by_digit) & (iota_b > 0)
+            Pk = jax.tree_util.tree_map(lambda t: t[:, pos], Ps)
+            cand = gs.add(buckets, Pk)
+            buckets = gs.select(valid, cand, buckets)
+            return (k + 1, buckets)
+
+        _, buckets = jax.lax.while_loop(
+            lambda s: s[0] < maxrun, round_body, (jnp.int32(0), buckets)
+        )
+
+        # weighted reduction: sum_b b*S_b = sum_{b>=1} T_b, T_b = sum_{j>=b} S_j
+        def suffix_body(i, T):
+            sh = 1 << i
+            Q = jax.tree_util.tree_map(lambda t: jnp.roll(t, -sh, axis=-1), T)
+            cand = gs.add(T, Q)
+            return gs.select(iota_b < B - sh, cand, T)
+
+        T = jax.lax.fori_loop(0, c, suffix_body, buckets)
+        # exclude T_0 (it's the total sum, not part of the weighted identity)
+        T = gs.select(iota_b > 0, T, gs.identity((B,)))
+        wsum = _tree_reduce(gs, T, B)
+
+        # Horner: result <- result * 2^c + wsum
+        result = jax.lax.fori_loop(0, c, lambda i, R: gs.double(R), result)
+        result = gs.add(result, wsum)
+        return result, None
+
+    result, _ = jax.lax.scan(window_body, gs.identity(()), digits)
+    return result
+
+
+def _pick_window(n):
+    """Bucket window size: balance W*N accumulation vs per-window bucket
+    reduction (~2c*2^c adds)."""
+    if n >= (1 << 16):
+        return 13
+    if n >= (1 << 12):
+        return 12
+    if n >= (1 << 8):
+        return 8
+    return 6
+
+
 def msm_device(curve, group, points, scalars, point_cls):
     """Full MSM on device from host points/ints; returns a host point."""
     gs = get_group_spec(curve, group)
     fr = FieldSpec.get(curve.r)
     n = len(points)
-    slimbs = _scalar_limbs(scalars, curve.r, fr.nl)
+    slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
     nbits = fr.nl * 16
 
     P = gs.points_to_device(points)
-    n_pad = _next_pow2(n)
-    P = _pad_points(gs, P, n, n_pad)
-    slimbs = jnp.asarray(
-        np.concatenate([slimbs, np.zeros((fr.nl, n_pad - n), np.uint32)], axis=1)
-    )
-    kernel = _Kernels.msm(gs, n_pad, nbits)
+    c = _pick_window(n)
+    kernel = _Kernels.pippenger(gs, n, nbits, c)
     result = kernel(P, slimbs)
     result = jax.tree_util.tree_map(lambda t: t[..., None], result)
     return gs.points_from_device(result, point_cls)[0]
@@ -130,13 +248,8 @@ def msm_device_raw(gs, P, slimbs):
     P coords (NL, n); slimbs (SL, n). Returns projective limb tensors."""
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
-    n_pad = _next_pow2(n)
-    P = _pad_points(gs, P, n, n_pad)
-    if n_pad != n:
-        slimbs = jnp.concatenate(
-            [slimbs, jnp.zeros((slimbs.shape[0], n_pad - n), jnp.uint32)], axis=1
-        )
-    return _Kernels.msm(gs, n_pad, nbits)(P, slimbs)
+    c = _pick_window(n)
+    return _Kernels.pippenger(gs, n, nbits, c)(P, slimbs)
 
 
 def batch_mul_device(curve, group, points, scalars, point_cls):
