@@ -225,12 +225,55 @@ class GroupSpec:
         return self.F.is_zero(P[2])
 
     # ---------- host <-> device conversion ----------
+    def _batch_affine(self, points):
+        """Affine coords for a list of host points via ONE batched inversion
+        (the per-point `pow` inversions dominate host->device conversion
+        otherwise). Returns list of affine tuples or None (infinity)."""
+        from ..utils import batch_modinv
+        from ..curves.tower import Fq2Ops
+
+        p = self.fs.p
+        # collect z values of points lacking an affine cache
+        idxs = []
+        zs = []
+        for i, pt in enumerate(points):
+            if pt._affine_cache is None:
+                z = pt._jac[2]
+                if self.group == 1:
+                    if z != 0:
+                        idxs.append(i)
+                        zs.append(z)
+                else:
+                    if z != (0, 0):
+                        idxs.append(i)
+                        # Fq2 norm trick: 1/z = conj(z) / (z0^2 + z1^2)
+                        zs.append((z[0] * z[0] + z[1] * z[1]) % p)
+        if idxs:
+            invs = batch_modinv(zs, p)
+            if self.group == 1:
+                for i, zinv in zip(idxs, invs):
+                    X, Y, Z = points[i]._jac
+                    zi2 = zinv * zinv % p
+                    points[i]._affine_cache = (
+                        (X * zi2 % p, Y * zi2 % p * zinv % p),
+                    )
+            else:
+                f2 = Fq2Ops(p)
+                for i, ninv in zip(idxs, invs):
+                    X, Y, Z = points[i]._jac
+                    zinv = (Z[0] * ninv % p, -Z[1] * ninv % p)
+                    zi2 = f2.sqr(zinv)
+                    points[i]._affine_cache = (
+                        (f2.mul(X, zi2), f2.mul(Y, f2.mul(zi2, zinv))),
+                    )
+        return [pt._affine() for pt in points]
+
     def points_to_device(self, points):
         """List of host PointG1/PointG2 -> projective Montgomery limb tensors
         of shape (NL, n) per coordinate (Fq2 coords are limb-tensor pairs)."""
         fs = self.fs
         n = len(points)
-        affs = [pt._affine() for pt in points]
+        affs = self._batch_affine(points)
         inf = np.array([a is None for a in affs])
 
         def zcol():

@@ -216,13 +216,13 @@ def msm_pippenger(gs, P, slimbs, c=12):
 
 
 def _pick_window(n):
-    """Bucket window size: balance W*N accumulation vs per-window bucket
-    reduction (~2c*2^c adds)."""
-    if n >= (1 << 16):
-        return 13
-    if n >= (1 << 12):
+    """Bucket window size minimizing W(c) * (N + (2c + slack) * 2^c):
+    the per-window cost of accumulation plus the suffix-scan reduction."""
+    if n >= (1 << 18):
         return 12
-    if n >= (1 << 8):
+    if n >= (1 << 14):
+        return 10
+    if n >= (1 << 10):
         return 8
     return 6
 

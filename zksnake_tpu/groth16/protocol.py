@@ -34,6 +34,20 @@ class Groth16:
 
         self.proving_key = None
         self.verifying_key = None
+        self._device_prover = None
+
+    def _get_device_prover(self):
+        """Fused on-device prover pipeline, for large circuits."""
+        from ..backend import config as _cfg
+
+        if not _cfg.use_device(self.qap.a.n_row, _cfg.NTT_DEVICE_THRESHOLD):
+            return None
+        if self._device_prover is None:
+            from ..backend.groth16_device import Groth16DeviceProver
+            from ..curves.params import CURVES
+
+            self._device_prover = Groth16DeviceProver(self.qap, CURVES[self.E.name])
+        return self._device_prover
 
     def setup(self):
         """Trusted setup to generate `ProvingKey` and `VerifyingKey`"""
@@ -122,6 +136,31 @@ class Groth16:
 
         r = get_random_int(self.order - 1)
         s = get_random_int(self.order - 1)
+
+        dev = self._get_device_prover()
+        if dev is not None:
+            try:
+                msm_a, msm_b1, msm_b2, msm_hz, sum_delta_witness = dev.prove_msms(
+                    self.proving_key,
+                    public_witness + private_witness,
+                    private_witness,
+                    self.E.curve.PointG1,
+                    self.E.curve.PointG2,
+                )
+            except ValueError as exc:
+                raise ValueError("Failed to evaluate with the given witness") from exc
+            A = msm_a + self.proving_key.alpha_1 + (self.proving_key.delta_1 * r)
+            B1 = msm_b1 + self.proving_key.beta_1 + (self.proving_key.delta_1 * s)
+            B2 = msm_b2 + self.proving_key.beta_2 + (self.proving_key.delta_2 * s)
+            HZ = msm_hz
+            C = (
+                HZ
+                + sum_delta_witness
+                + (A * s)
+                + (B1 * r)
+                + (-self.proving_key.delta_1 * (r * s % self.order))
+            )
+            return Proof(A, B2, C)
 
         try:
             U, V, _, H = self.qap.evaluate_witness(public_witness + private_witness)
