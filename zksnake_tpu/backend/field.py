@@ -128,12 +128,23 @@ def _place(x, offset, ncols):
 def mont_mul(fs, a, b):
     """Montgomery product: (a * b * R^-1) mod p. a, b: (nl, ...) limb tensors.
 
-    Column accumulation uses lax.pad placement (vector adds over the full
-    column tensor) instead of per-column scalar updates — ~5x fewer traced
-    ops, which keeps fori_loop bodies (point adds = ~15 of these) tractable
-    to trace and compile.
+    On TPU, large batches route to the Pallas VMEM kernel (HBM-bandwidth
+    bound otherwise). The jnp fallback uses lax.pad placement (vector adds
+    over the full column tensor) instead of per-column scalar updates — ~5x
+    fewer traced ops, keeping fori_loop bodies tractable to compile.
     """
     nl = fs.nl
+    batch = 1
+    for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
+        batch *= d
+    # Pallas wins only on large flat batches: one launch amortizes the kernel
+    # dispatch. Small per-iteration muls (MSM bucket loops) stay on the fused
+    # jnp path — hundreds of tiny pallas launches measured 10x slower.
+    if batch >= (1 << 15):
+        from . import pallas_field
+
+        if pallas_field.pallas_available():
+            return pallas_field.mont_mul_pallas(fs, a, b)
     ncols = 2 * nl + 1
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
 
