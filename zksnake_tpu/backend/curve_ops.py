@@ -147,11 +147,17 @@ class GroupSpec:
         self.fs = FieldSpec.get(curve.p)
         if group == 1:
             self.F = DevFq(self.fs)
-            self.b3 = self.F.const(3 * curve.b)
+            self._b3_val = 3 * curve.b
         else:
             self.F = DevFq2(self.fs)
             b2 = curve.b2
-            self.b3 = self.F.const((3 * b2[0] % curve.p, 3 * b2[1] % curve.p))
+            self._b3_val = (3 * b2[0] % curve.p, 3 * b2[1] % curve.p)
+
+    @property
+    def b3(self):
+        # rebuilt per trace from scalar literals: a concrete array attribute
+        # would be a captured constant inside Pallas kernel bodies
+        return self.F.const(self._b3_val)
 
     def identity(self, shape=()):
         F = self.F

@@ -80,13 +80,17 @@ class FieldSpec:
 
     def one_mont_dev(self, batch_shape=()):
         """Montgomery 1 broadcast to (nl, *batch_shape)."""
-        v = jnp.asarray(self.one_mont).reshape((self.nl,) + (1,) * len(batch_shape))
-        return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
+        return self.const_mont_dev(1, batch_shape)
 
     def const_mont_dev(self, value: int, batch_shape=()):
+        """Montgomery constant built from per-limb Python scalars (scalar
+        literals, not captured arrays — required inside Pallas kernels)."""
         m = int(value) % self.p * self.R % self.p
-        limbs = np.array([(m >> (W * i)) & MASK for i in range(self.nl)], np.uint32)
-        v = jnp.asarray(limbs).reshape((self.nl,) + (1,) * len(batch_shape))
+        cols = [
+            jnp.full((1,) * len(batch_shape) or (), (m >> (W * i)) & MASK, jnp.uint32)
+            for i in range(self.nl)
+        ]
+        v = jnp.stack(cols, axis=0)
         return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
 
 
@@ -116,6 +120,31 @@ def _cond_sub_p(fs, r):
     return jnp.where(ge[None], diff, r)
 
 
+def _mont_mul_cols(fs, a, b, shape):
+    """Column-list CIOS (no lax.pad) — the formulation used *inside* Pallas
+    kernels, where every update must be a plain elementwise op Mosaic can
+    lower. a, b already broadcast to (nl,) + shape."""
+    nl = fs.nl
+    zero = jnp.zeros(shape, dtype=jnp.uint32)
+    t = [zero] * (2 * nl + 1)
+    for i in range(nl):
+        prod = a[i] * b
+        lo = prod & MASK
+        hi = prod >> W
+        for j in range(nl):
+            t[i + j] = t[i + j] + lo[j]
+            t[i + j + 1] = t[i + j + 1] + hi[j]
+    for i in range(nl):
+        m = ((t[i] & MASK) * fs.pinv) & MASK
+        for j in range(nl):
+            prod = m * int(fs.p_limbs[j])
+            t[i + j] = t[i + j] + (prod & MASK)
+            t[i + j + 1] = t[i + j + 1] + (prod >> W)
+        t[i + 1] = t[i + 1] + (t[i] >> W)
+    r = _carry_chain(t[nl : 2 * nl], nl)
+    return _cond_sub_p(fs, r)
+
+
 def _place(x, offset, ncols):
     """Pad x (k, ...) so its rows occupy columns [offset, offset+k) of ncols."""
     k = x.shape[0]
@@ -140,9 +169,19 @@ def mont_mul(fs, a, b):
     # Pallas wins only on large flat batches: one launch amortizes the kernel
     # dispatch. Small per-iteration muls (MSM bucket loops) stay on the fused
     # jnp path — hundreds of tiny pallas launches measured 10x slower.
-    if batch >= (1 << 15):
-        from . import pallas_field
+    from . import pallas_field
 
+    if pallas_field._STATE["in_kernel"]:
+        # tracing inside a pallas kernel body: use the pad-free column core
+        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+        def _bc(x):
+            extra = len(shape) - (x.ndim - 1)
+            x = x.reshape((nl,) + (1,) * extra + x.shape[1:])
+            return jnp.broadcast_to(x, (nl,) + shape)
+
+        return _mont_mul_cols(fs, _bc(a), _bc(b), shape)
+    if batch >= (1 << 15):
         if pallas_field.pallas_available():
             return pallas_field.mont_mul_pallas(fs, a, b)
     ncols = 2 * nl + 1

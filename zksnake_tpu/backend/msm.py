@@ -155,12 +155,15 @@ def _window_digits(slimbs, c, nbits):
 def msm_pippenger(gs, P, slimbs, c=12):
     """Full MSM via bucket method. P: projective coords (NL, N); slimbs:
     (SL, N) raw 16-bit scalar limbs. Returns one projective point."""
+    from . import pallas_field
+
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
     B = 1 << c
     digits = _window_digits(slimbs, c, nbits)  # (W, N) high-first
     iota_n = jnp.arange(n, dtype=jnp.int32)
     iota_b = jnp.arange(B, dtype=jnp.int32)
+    use_pallas_buckets = pallas_field.pallas_available() and n >= (1 << 15)
 
     def window_body(result, dw):
         order = jnp.argsort(dw)
@@ -179,20 +182,50 @@ def msm_pippenger(gs, P, slimbs, c=12):
         len_by_digit = ends_by_digit - starts_by_digit + 1
         has_digit = ends_by_digit >= 0
 
-        buckets = gs.identity((B,))
+        def _accum_loop(_):
+            buckets = gs.identity((B,))
 
-        def round_body(state):
-            k, buckets = state
-            pos = jnp.clip(starts_by_digit + k, 0, n - 1)
-            valid = has_digit & (k < len_by_digit) & (iota_b > 0)
-            Pk = jax.tree_util.tree_map(lambda t: t[:, pos], Ps)
-            cand = gs.add(buckets, Pk)
-            buckets = gs.select(valid, cand, buckets)
-            return (k + 1, buckets)
+            def round_body(state):
+                k, buckets = state
+                pos = jnp.clip(starts_by_digit + k, 0, n - 1)
+                valid = has_digit & (k < len_by_digit) & (iota_b > 0)
+                Pk = jax.tree_util.tree_map(lambda t: t[:, pos], Ps)
+                cand = gs.add(buckets, Pk)
+                buckets = gs.select(valid, cand, buckets)
+                return (k + 1, buckets)
 
-        _, buckets = jax.lax.while_loop(
-            lambda s: s[0] < maxrun, round_body, (jnp.int32(0), buckets)
-        )
+            _, buckets = jax.lax.while_loop(
+                lambda s: s[0] < maxrun, round_body, (jnp.int32(0), buckets)
+            )
+            return buckets
+
+        if use_pallas_buckets:
+            # one pallas launch streams R rounds of gathered points through a
+            # VMEM-resident bucket accumulator; degenerate digit skew (run
+            # longer than R_static) falls back to the while_loop path
+            R_static = int(min(n, n // B + 129))
+
+            def _accum_pallas(_):
+                kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
+                pos = jnp.clip(starts_by_digit[None, :] + kcol, 0, n - 1)
+                valid = (
+                    has_digit[None]
+                    & (kcol < len_by_digit[None])
+                    & (iota_b[None] > 0)
+                ).astype(jnp.int32)
+                leaves = [
+                    jnp.transpose(leaf[:, pos], (1, 0, 2))
+                    for leaf in jax.tree_util.tree_leaves(Ps)
+                ]
+                return pallas_field.bucket_accumulate_pallas(
+                    gs, leaves, valid, R_static, B
+                )
+
+            buckets = jax.lax.cond(
+                maxrun <= R_static, _accum_pallas, _accum_loop, None
+            )
+        else:
+            buckets = _accum_loop(None)
 
         # weighted reduction: sum_b b*S_b = sum_{b>=1} T_b, T_b = sum_{j>=b} S_j
         def suffix_body(i, T):

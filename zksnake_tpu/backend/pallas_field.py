@@ -92,13 +92,17 @@ def _compiled(nl, p_limbs_key, pinv, interpret):
     return run
 
 
-_STATE = {"checked": False, "on_tpu": False}
+_STATE = {"checked": False, "on_tpu": False, "in_kernel": False}
 
 
 def pallas_available():
     import os
 
     if os.environ.get("ZKSNAKE_NO_PALLAS", "0") == "1":
+        return False
+    if _STATE["in_kernel"]:
+        # already tracing inside a pallas kernel body: nested pallas_call is
+        # invalid, use the jnp core
         return False
     if not _STATE["checked"]:
         try:
@@ -107,6 +111,70 @@ def pallas_available():
             _STATE["on_tpu"] = False
         _STATE["checked"] = True
     return _STATE["on_tpu"]
+
+
+def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
+    """Bucket accumulation for one Pippenger window as ONE pallas launch.
+
+    point_rounds_leaves: list of coordinate-limb tensors shaped (R, nl, B) —
+    round-major gathers of the sorted points (round k row b = the rank-k
+    element of digit-b's run). valid: (R, B) int32 mask. The bucket
+    accumulator lives in VMEM across all R grid steps (constant out-block
+    index); each step is one masked complete point-add on B lanes while the
+    next round's points stream in via the grid pipeline.
+    """
+    from jax.experimental import pallas as pl
+
+    nl = gs.fs.nl
+    L = len(point_rounds_leaves)
+
+    def kernel(*refs):
+        valid_ref = refs[0]
+        in_refs = refs[1 : 1 + L]
+        out_refs = refs[1 + L :]
+        r = pl.program_id(0)
+
+        ident = gs.identity((B,))
+        ident_leaves = jax.tree_util.tree_leaves(ident)
+
+        @pl.when(r == 0)
+        def _():
+            for oref, leaf in zip(out_refs, ident_leaves):
+                oref[...] = leaf
+
+        treedef = jax.tree_util.tree_structure(ident)
+        bucket = jax.tree_util.tree_unflatten(
+            treedef, [oref[...] for oref in out_refs]
+        )
+        pt = jax.tree_util.tree_unflatten(
+            treedef, [iref[0] for iref in in_refs]
+        )
+        res = gs.add(bucket, pt)
+        v = valid_ref[0, 0] != 0
+        out = gs.select(v, res, bucket)
+        for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(out)):
+            oref[...] = leaf
+
+    in_specs = [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))] + [
+        pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)
+    ]
+    out_specs = [pl.BlockSpec((nl, B), lambda r: (0, 0)) for _ in range(L)]
+    out_shape = [jax.ShapeDtypeStruct((nl, B), jnp.uint32) for _ in range(L)]
+
+    _STATE["in_kernel"] = True
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(R,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(valid[:, None, :], *point_rounds_leaves)
+    finally:
+        _STATE["in_kernel"] = False
+    ident = gs.identity((B,))
+    treedef = jax.tree_util.tree_structure(ident)
+    return jax.tree_util.tree_unflatten(treedef, list(outs))
 
 
 def mont_mul_pallas(fs, a, b):
