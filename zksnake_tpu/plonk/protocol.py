@@ -42,6 +42,41 @@ class Plonk:
         self.proving_key = None
         self.verifying_key = None
         self._roots = []
+        self._tau_dev = None
+
+    def _commit(self, tau_g1, coeffs):
+        """MSM of coeffs against the tau powers; large circuits use the
+        device Pippenger with a cached device-resident point set (scalars are
+        zero-padded to the full SRS length so one compiled kernel serves
+        every commitment in the protocol)."""
+        from ..backend import config as _cfg
+
+        n_full = len(tau_g1)
+        if not _cfg.use_device(n_full, _cfg.MSM_DEVICE_THRESHOLD):
+            return self.E.multiexp(tau_g1, coeffs)
+
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ..backend.curve_ops import get_group_spec
+        from ..backend.msm import msm_device_raw, _scalar_limbs
+        from ..backend.field import FieldSpec
+        from ..curves.params import CURVES
+
+        curve = CURVES[self.E.name]
+        gs = get_group_spec(curve, 1)
+        fr = FieldSpec.get(curve.r)
+        if self._tau_dev is None or self._tau_dev[0] is not tau_g1:
+            self._tau_dev = (tau_g1, gs.points_to_device(tau_g1))
+        pts = self._tau_dev[1]
+        coeffs = list(coeffs)[:n_full]
+        coeffs = coeffs + [0] * (n_full - len(coeffs))
+        slimbs = jnp.asarray(_scalar_limbs(coeffs, curve.r, fr.nl))
+        res = msm_device_raw(gs, pts, slimbs)
+        return gs.points_from_device(
+            jax.tree_util.tree_map(lambda t: np.asarray(t)[..., None], res),
+            self.E.curve.PointG1,
+        )[0]
 
     def setup(self, g1_tau=None, g2_tau=None):
         """Universal trusted setup; optionally reuse external powers of tau."""
@@ -112,14 +147,14 @@ class Plonk:
 
         identity_permutation_poly = [id1_poly, id2_poly, id3_poly]
 
-        tau_QL = self.E.multiexp(self.G1_tau, QL.coeffs())
-        tau_QR = self.E.multiexp(self.G1_tau, QR.coeffs())
-        tau_QO = self.E.multiexp(self.G1_tau, QO.coeffs())
-        tau_QM = self.E.multiexp(self.G1_tau, QM.coeffs())
-        tau_QC = self.E.multiexp(self.G1_tau, QC.coeffs())
-        tau_sigma1 = self.E.multiexp(self.G1_tau, S1.coeffs())
-        tau_sigma2 = self.E.multiexp(self.G1_tau, S2.coeffs())
-        tau_sigma3 = self.E.multiexp(self.G1_tau, S3.coeffs())
+        tau_QL = self._commit(self.G1_tau, QL.coeffs())
+        tau_QR = self._commit(self.G1_tau, QR.coeffs())
+        tau_QO = self._commit(self.G1_tau, QO.coeffs())
+        tau_QM = self._commit(self.G1_tau, QM.coeffs())
+        tau_QC = self._commit(self.G1_tau, QC.coeffs())
+        tau_sigma1 = self._commit(self.G1_tau, S1.coeffs())
+        tau_sigma2 = self._commit(self.G1_tau, S2.coeffs())
+        tau_sigma3 = self._commit(self.G1_tau, S3.coeffs())
 
         tau_selector = {
             "L": tau_QL,
@@ -247,9 +282,9 @@ class Plonk:
         )
         G = Polynomial(ifft(g_eval, self.order), self.order, n)
 
-        tau_a = self.E.multiexp(self.proving_key.tau_g1, A.coeffs())
-        tau_b = self.E.multiexp(self.proving_key.tau_g1, B.coeffs())
-        tau_c = self.E.multiexp(self.proving_key.tau_g1, C.coeffs())
+        tau_a = self._commit(self.proving_key.tau_g1, A.coeffs())
+        tau_b = self._commit(self.proving_key.tau_g1, B.coeffs())
+        tau_c = self._commit(self.proving_key.tau_g1, C.coeffs())
 
         transcript.append(tau_a)
         transcript.append(tau_b)
@@ -302,7 +337,7 @@ class Plonk:
         acc_poly = Polynomial(ifft(accumulator, self.order), self.order)
 
         Z = blinding_permutation.multiply_by_vanishing_poly() + acc_poly
-        tau_z = self.E.multiexp(self.proving_key.tau_g1, Z.coeffs())
+        tau_z = self._commit(self.proving_key.tau_g1, Z.coeffs())
 
         transcript.append(tau_z)
 
@@ -350,9 +385,9 @@ class Plonk:
         T_mid = T_mid - blindings[0] + X_n * blindings[1]
         T_hi = T_hi - blindings[1]
 
-        tau_T_lo = self.E.multiexp(self.proving_key.tau_g1, T_lo.coeffs())
-        tau_T_mid = self.E.multiexp(self.proving_key.tau_g1, T_mid.coeffs())
-        tau_T_hi = self.E.multiexp(self.proving_key.tau_g1, T_hi.coeffs())
+        tau_T_lo = self._commit(self.proving_key.tau_g1, T_lo.coeffs())
+        tau_T_mid = self._commit(self.proving_key.tau_g1, T_mid.coeffs())
+        tau_T_hi = self._commit(self.proving_key.tau_g1, T_hi.coeffs())
 
         transcript.append(tau_T_lo)
         transcript.append(tau_T_mid)
@@ -440,8 +475,8 @@ class Plonk:
 
         assert remainder.is_zero()
 
-        tau_W_zeta = self.E.multiexp(self.proving_key.tau_g1, W_zeta.coeffs())
-        tau_W_zeta_omega = self.E.multiexp(
+        tau_W_zeta = self._commit(self.proving_key.tau_g1, W_zeta.coeffs())
+        tau_W_zeta_omega = self._commit(
             self.proving_key.tau_g1, W_zeta_omega.coeffs()
         )
 
