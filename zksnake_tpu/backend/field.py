@@ -58,9 +58,16 @@ class FieldSpec:
         """ints -> (nl, n) Montgomery limb array (numpy)."""
         p = self.p
         R = self.R
-        return np.ascontiguousarray(
-            ints_to_limbs([int(v) % p * R % p for v in values], self.nl).T
-        )
+        from ..native import get_codec
+
+        codec = get_codec()
+        if codec is not None:
+            scaled = codec.mulmod_scalar(
+                values if isinstance(values, list) else list(values), R, p
+            )
+        else:
+            scaled = [int(v) % p * R % p for v in values]
+        return np.ascontiguousarray(ints_to_limbs(scaled, self.nl).T)
 
     def from_mont_host(self, arr):
         """(nl, n) Montgomery limb array -> ints."""

@@ -19,10 +19,22 @@ def n_limbs(p: int) -> int:
     return nl + (nl & 1)  # even count keeps byte length a multiple of 4
 
 
+def _codec():
+    from ..native import get_codec
+
+    return get_codec()
+
+
 def ints_to_limbs(values, nl: int) -> np.ndarray:
     """List of non-negative ints -> (n, nl) uint32 array of 16-bit limbs."""
     nbytes = nl * 2
-    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    codec = _codec()
+    if codec is not None:
+        buf = codec.ints_to_bytes(
+            values if isinstance(values, list) else list(values), nbytes
+        )
+    else:
+        buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
     arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
     return arr.reshape(len(values), nl)
 
@@ -33,6 +45,9 @@ def limbs_to_ints(arr) -> list:
     n, nl = arr.shape
     buf = arr.astype("<u2").tobytes()
     nbytes = nl * 2
+    codec = _codec()
+    if codec is not None:
+        return codec.bytes_to_ints(buf, nbytes)
     return [
         int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") for i in range(n)
     ]
