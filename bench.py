@@ -26,6 +26,7 @@ HOST_SAMPLE = 1 << 10
 
 
 def _measure_msm(logn):
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from zksnake_tpu.backend import config as _cfg
@@ -48,22 +49,41 @@ def _measure_msm(logn):
     scalars = [rng.randrange(curve.r) for _ in range(N)]
     slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
 
-    res = msm_device_raw(gs, P, slimbs)  # compile + warm
-    jax.tree_util.tree_map(lambda t: t.block_until_ready(), res)
+    def run_sync():
+        """One MSM, synced by pulling a result leaf to host: through the
+        axon stdio relay, block_until_ready returns before the computation
+        finishes (measured: a 2^20 MSM 'completed' in 0.5 ms), so a tiny
+        device->host copy is the only trustworthy fence."""
+        r = msm_device_raw(gs, P, slimbs)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        return r
+
+    run_sync()  # compile + warm
 
     t0 = time.time()
-    res = msm_device_raw(gs, P, slimbs)
-    jax.tree_util.tree_map(lambda t: t.block_until_ready(), res)
+    res = run_sync()
     dt = time.time() - t0
-    nondegenerate = not bool(gs.is_identity(res))
-    return N / dt, dt, nondegenerate
+
+    # correctness oracle: points are tiled multiples (i%64 + 1)*G, so the
+    # expected result is G * (sum_i s_i * (i%64 + 1)) — O(N) host int ops
+    total = 0
+    for i, s in enumerate(scalars):
+        total += s * (i % 64 + 1)
+    want = ec_bn254.g1() * (total % curve.r)
+    got = gs.points_from_device(
+        jax.tree_util.tree_map(lambda t: t[..., None], res), ec_bn254.PointG1
+    )[0]
+    correct = got == want
+    return N / dt, dt, correct
 
 
 def _attempt_main(logn):
     pts_per_s, dt, ok = _measure_msm(logn)
+    if not ok:
+        raise AssertionError("device MSM result does not match host oracle")
     print(
         "@@RESULT@@"
-        + json.dumps({"pts_per_s": pts_per_s, "dt": dt, "nondegenerate": ok})
+        + json.dumps({"pts_per_s": pts_per_s, "dt": dt, "correct": ok})
     )
 
 
@@ -115,7 +135,7 @@ def main():
                     "msm_seconds": round(r["dt"], 4),
                     "pallas": not no_pallas,
                     "host_python_points_per_s": round(host_pts_per_s, 1),
-                    "nondegenerate": r["nondegenerate"],
+                    "correct_vs_host_oracle": r["correct"],
                 },
             }
             break

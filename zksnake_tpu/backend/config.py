@@ -13,8 +13,41 @@ _DISABLE = os.environ.get("ZKSNAKE_TPU_DISABLE", "0") == "1"
 MSM_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_MSM_THRESHOLD", "256"))
 BATCHMUL_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_BATCHMUL_THRESHOLD", "64"))
 NTT_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_NTT_THRESHOLD", "512"))
+PLONK_DEVICE_THRESHOLD = int(os.environ.get("ZKSNAKE_PLONK_THRESHOLD", "2048"))
 
 _jax_state = {"checked": False, "available": False}
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Topology / kernel-shape configuration for multi-chip runs (SURVEY.md
+    section 5: the reference's only knob is ZKSNAKE_PARALLEL_CPU; the rebuild
+    makes mesh and kernel geometry explicit). Constructor-arg style, with env
+    fallbacks for the driver."""
+
+    n_devices: int = 0  # 0 = all visible devices
+    axis: str = "shards"
+    msm_window: int = 0  # 0 = auto (_pick_window)
+    ntt_rows: int = 0  # four-step n1; 0 = sqrt(n) rounded to the mesh
+
+    @classmethod
+    def from_env(cls):
+        return cls(
+            n_devices=int(os.environ.get("ZKSNAKE_MESH_DEVICES", "0")),
+            axis=os.environ.get("ZKSNAKE_MESH_AXIS", "shards"),
+            msm_window=int(os.environ.get("ZKSNAKE_MSM_WINDOW", "0")),
+            ntt_rows=int(os.environ.get("ZKSNAKE_NTT_ROWS", "0")),
+        )
+
+    def make_mesh(self):
+        from .sharding import make_mesh
+
+        return make_mesh(
+            n_devices=self.n_devices or None, axis=self.axis
+        )
 
 CACHE_DIR = os.environ.get(
     "ZKSNAKE_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")

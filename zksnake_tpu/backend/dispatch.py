@@ -43,8 +43,17 @@ def msm(curve_module, points, scalars, group):
 def batch_scalar_mul(curve_module, points, scalars, group):
     assert len(points) == len(scalars)
     if config.use_device(len(points), config.BATCHMUL_DEVICE_THRESHOLD):
+        cls = curve_module.PointG1 if group == 1 else curve_module.PointG2
+        p0 = points[0]
+        if all(p is p0 for p in points):
+            # trusted-setup shape: one base times many scalars — windowed
+            # fixed-base tables are ~16x fewer point-ops than double-and-add
+            from .msm import batch_mul_fixed_base
+
+            return batch_mul_fixed_base(
+                curve_module._curve, group, p0, scalars, cls
+            )
         from .msm import batch_mul_device
 
-        cls = curve_module.PointG1 if group == 1 else curve_module.PointG2
         return batch_mul_device(curve_module._curve, group, points, scalars, cls)
     return [g * s for g, s in zip(points, scalars)]

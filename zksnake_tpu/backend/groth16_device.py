@@ -118,20 +118,24 @@ class Groth16DeviceProver:
     def prove_msms(self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2):
         """Runs the 5 MSMs of Groth16.prove on device; returns host points
         (msmA, msmB1, msmB2, msmHZ, msmKpriv)."""
+        from ..metrics import phase
+
         fr = self.fr
         g1 = get_group_spec(self.curve, 1)
         g2 = get_group_spec(self.curve, 2)
-        u, v, h, = self.evaluate_witness_device(witness_ints)
+        with phase("groth16.prove.qap", items=self.n):
+            u, v, h, = self.evaluate_witness_device(witness_ints)
         pkd = self.pk_device(pk)
 
         def trunc(P, k):
             return jax.tree_util.tree_map(lambda t: t[..., :k], P)
 
         n = self.n
-        msm_a = msm_device_raw(g1, trunc(pkd["tau1"], n), u)
-        msm_b1 = msm_device_raw(g1, trunc(pkd["tau1"], n), v)
-        msm_b2 = msm_device_raw(g2, trunc(pkd["tau2"], n), v)
-        msm_hz = msm_device_raw(g1, trunc(pkd["target1"], n), h)
+        with phase("groth16.prove.msm", items=4 * n):
+            msm_a = msm_device_raw(g1, trunc(pkd["tau1"], n), u)
+            msm_b1 = msm_device_raw(g1, trunc(pkd["tau1"], n), v)
+            msm_b2 = msm_device_raw(g2, trunc(pkd["tau2"], n), v)
+            msm_hz = msm_device_raw(g1, trunc(pkd["target1"], n), h)
 
         out = [
             g1.points_from_device(

@@ -27,15 +27,18 @@ def _scalar_limbs(scalars, r, nl):
 
 def _double_and_add(gs, P, slimbs, nbits):
     """Per-lane scalar mul: returns projective points, one per lane.
-    slimbs: (SL, N) 16-bit scalar limbs (not Montgomery)."""
+    slimbs: (SL, N) 16-bit scalar limbs (not Montgomery). Adds are mixed
+    (inputs arrive affine from the host; identity lanes masked out)."""
+    X, Y, Z = P
+    not_inf = ~gs.F.is_zero(Z)
 
     def body(i, acc):
         b = nbits - 1 - i
         limb = jax.lax.dynamic_index_in_dim(slimbs, b // 16, axis=0, keepdims=False)
         bit = (limb >> (b % 16)) & 1
         acc = gs.double(acc)
-        cand = gs.add(acc, P)
-        return gs.select(bit == 1, cand, acc)
+        cand = gs.add_affine(acc, (X, Y))
+        return gs.select((bit == 1) & not_inf, cand, acc)
 
     acc0 = gs.identity((slimbs.shape[1],))
     return jax.lax.fori_loop(0, nbits, body, acc0)
@@ -64,25 +67,16 @@ def _next_pow2(n):
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
 
+# minimum batch for the fused pallas window kernel (launch overhead floor);
+# module-level so tests can lower it to exercise the kernel on small inputs
+PALLAS_MSM_MIN = 1 << 15
+
+
 class _Kernels:
     """jit-compiled kernels cached per (curve, group, size signature)."""
 
-    _msm = {}
     _batch = {}
     _pip = {}
-
-    @classmethod
-    def msm(cls, gs, n_pad, nbits):
-        key = (gs.curve.name, gs.group, n_pad, nbits)
-        if key not in cls._msm:
-
-            @jax.jit
-            def kernel(P, slimbs):
-                acc = _double_and_add(gs, P, slimbs, nbits)
-                return _tree_reduce(gs, acc, n_pad)
-
-            cls._msm[key] = kernel
-        return cls._msm[key]
 
     @classmethod
     def pippenger(cls, gs, n, nbits, c):
@@ -109,88 +103,119 @@ class _Kernels:
         return cls._batch[key]
 
 
-def _pad_points(gs, P, n, n_pad):
-    if n == n_pad:
-        return P
-    ident = gs.identity((n_pad - n,))
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=-1), P, ident
-    )
-
-
 # ------------------------------------------------------------------
-# Pippenger bucket MSM
+# Pippenger bucket MSM (signed digits + mixed additions)
 #
 # Scatter-adds of group elements don't exist, so bucket accumulation uses a
-# sorted, conflict-free striping: sort points by window digit, compute each
-# element's rank within its run, and in round k add every run's rank-k
-# element into its bucket — all digits distinct within a round, so a single
-# masked 2^c-lane point-add per round accumulates without conflicts. Rounds
-# = longest run (~N/2^c for random scalars; a while_loop handles the
-# data-dependent count). Bucket reduction computes sum_b b*S_b as the sum of
-# suffix sums (log-depth roll scans); windows combine by Horner under one
-# lax.scan so the whole MSM compiles a single window body.
+# sorted, conflict-free striping: sort points by window-digit magnitude,
+# compute each element's rank within its run, and in round k add every run's
+# rank-k element into its bucket — all magnitudes distinct within a round, so
+# a single masked point-add per round accumulates without conflicts. Rounds =
+# longest run (~2N/2^c for random scalars; a while_loop handles the
+# data-dependent count).
+#
+# Window digits are SIGNED (balanced representation, |d| <= 2^(c-1)): a
+# negative digit contributes -P, and negating a short-Weierstrass point is a
+# free Y-negation — so the bucket array halves to 2^(c-1) lanes, which halves
+# the suffix-scan + tree-reduction cost per window (the dominant term at
+# small-to-mid N) and the Pallas accumulator's VMEM footprint.
+#
+# Bucket adds are MIXED: MSM inputs arrive affine from the host (Z = 1), so
+# the accumulate phase uses the 13-product complete mixed formula and streams
+# only (X, Y) per point — 2/3 of the HBM traffic of projective adds.
+#
+# Bucket reduction computes sum_b (b+1)*S_b as the sum of ALL suffix sums
+# (log-depth roll scans); windows combine by Horner under one lax.scan so the
+# whole MSM compiles a single window body.
 # ------------------------------------------------------------------
 
 
-def _window_digits(slimbs, c, nbits):
-    """(SL, N) 16-bit limbs -> (W, N) c-bit window digits, HIGH window first."""
-    sl, n = slimbs.shape
-    W = -(-nbits // c)
+def _extract_digit(slimbs, w, c):
+    """Unsigned c-bit digit of window w from (SL, N) 16-bit limbs."""
+    sl = slimbs.shape[0]
+    bit = w * c
+    li = bit // 16
+    ofs = bit % 16
+    d = slimbs[li] >> ofs
+    have = 16 - ofs
+    while have < c and li + 1 + (have - (16 - ofs)) // 16 < sl:
+        nxt = li + 1 + (have - (16 - ofs)) // 16
+        d = d | (slimbs[nxt] << have)
+        have += 16
+    return d & ((1 << c) - 1)
+
+
+def _signed_window_digits(slimbs, c, nbits):
+    """(SL, N) 16-bit limbs -> (W, N) int32 signed digits, HIGH window first.
+
+    Balanced representation: each digit in [-(2^(c-1)-1), 2^(c-1)], with the
+    low-to-high carry chain absorbed by the top window (valid because scalars
+    are reduced mod r < 2^(nbits-1), leaving >= 1 bit of headroom)."""
+    W_ = -(-nbits // c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    carry = None
     rows = []
-    for w in range(W - 1, -1, -1):
-        bit = w * c
-        li = bit // 16
-        ofs = bit % 16
-        d = slimbs[li] >> ofs
-        have = 16 - ofs
-        while have < c and li + 1 + (have - (16 - ofs)) // 16 < sl:
-            nxt = li + 1 + (have - (16 - ofs)) // 16
-            d = d | (slimbs[nxt] << have)
-            have += 16
-        rows.append(d & ((1 << c) - 1))
-    return jnp.stack(rows, axis=0)
+    for w in range(W_):
+        d = _extract_digit(slimbs, w, c).astype(jnp.int32)
+        t = d if carry is None else d + carry
+        carry = (t > half).astype(jnp.int32)
+        rows.append(t - carry * full)
+    return jnp.stack(rows[::-1], axis=0)
 
 
-def msm_pippenger(gs, P, slimbs, c=12):
-    """Full MSM via bucket method. P: projective coords (NL, N); slimbs:
-    (SL, N) raw 16-bit scalar limbs. Returns one projective point."""
+def msm_pippenger(gs, P, slimbs, c=13):
+    """Full MSM via bucket method. P: projective coords (NL, N) with affine
+    inputs (Z in {0, 1}); slimbs: (SL, N) raw 16-bit scalar limbs. Returns
+    one projective point."""
     from . import pallas_field
 
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
-    B = 1 << c
-    digits = _window_digits(slimbs, c, nbits)  # (W, N) high-first
+    B2 = 1 << (c - 1)  # bucket lane b holds the sum of points with |d| = b+1
+    digits = _signed_window_digits(slimbs, c, nbits)  # (W, N) high-first
     iota_n = jnp.arange(n, dtype=jnp.int32)
-    iota_b = jnp.arange(B, dtype=jnp.int32)
-    use_pallas_buckets = pallas_field.pallas_available() and n >= (1 << 15)
+    use_pallas_buckets = pallas_field.pallas_available() and n >= PALLAS_MSM_MIN
+    X, Y, Z = P
+    inf = gs.F.is_zero(Z)  # identity inputs (e.g. padding) are masked out
 
     def window_body(result, dw):
-        order = jnp.argsort(dw)
-        ds = dw[order].astype(jnp.int32)
-        Ps = jax.tree_util.tree_map(lambda t: t[:, order], P)
+        mag = jnp.abs(dw)
+        order = jnp.argsort(mag)
+        ms = mag[order]
+        neg_s = (dw < 0)[order]
+        inf_s = inf[order]
+        Xs = jax.tree_util.tree_map(lambda t: t[:, order], X)
+        Ys = jax.tree_util.tree_map(lambda t: t[:, order], Y)
+        Ys = gs.negate_y(Ys, neg_s)
 
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]]
-        )
+        is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), ms[1:] != ms[:-1]])
         run_start = jax.lax.cummax(jnp.where(is_start, iota_n, 0))
         rank = iota_n - run_start
         maxrun = jnp.max(rank) + 1
 
-        starts_by_digit = jnp.zeros((B,), jnp.int32).at[ds].set(run_start)
-        ends_by_digit = jnp.full((B,), -1, jnp.int32).at[ds].max(iota_n)
+        # scatter run metadata by bucket; the |d| = 0 run routes to index B2
+        # (out of bounds, dropped) so it can't clobber bucket 0 (|d| = 1)
+        bidx = jnp.where(ms > 0, ms - 1, B2)
+        starts_by_digit = (
+            jnp.zeros((B2,), jnp.int32).at[bidx].set(run_start, mode="drop")
+        )
+        ends_by_digit = (
+            jnp.full((B2,), -1, jnp.int32).at[bidx].max(iota_n, mode="drop")
+        )
         len_by_digit = ends_by_digit - starts_by_digit + 1
         has_digit = ends_by_digit >= 0
 
         def _accum_loop(_):
-            buckets = gs.identity((B,))
+            buckets = gs.identity((B2,))
 
             def round_body(state):
                 k, buckets = state
                 pos = jnp.clip(starts_by_digit + k, 0, n - 1)
-                valid = has_digit & (k < len_by_digit) & (iota_b > 0)
-                Pk = jax.tree_util.tree_map(lambda t: t[:, pos], Ps)
-                cand = gs.add(buckets, Pk)
+                valid = has_digit & (k < len_by_digit) & ~inf_s[pos]
+                Qx = jax.tree_util.tree_map(lambda t: t[:, pos], Xs)
+                Qy = jax.tree_util.tree_map(lambda t: t[:, pos], Ys)
+                cand = gs.add_affine(buckets, (Qx, Qy))
                 buckets = gs.select(valid, cand, buckets)
                 return (k + 1, buckets)
 
@@ -199,45 +224,65 @@ def msm_pippenger(gs, P, slimbs, c=12):
             )
             return buckets
 
-        if use_pallas_buckets:
-            # one pallas launch streams R rounds of gathered points through a
-            # VMEM-resident bucket accumulator; degenerate digit skew (run
-            # longer than R_static) falls back to the while_loop path
-            R_static = int(min(n, n // B + 129))
+        def _reduce_jnp(buckets):
+            # weighted reduction: sum_b (b+1)*S_b = sum_{b>=0} T_b,
+            # T_b = sum_{j>=b} S_j — suffix sums via log-depth roll scan
+            iota_b = jnp.arange(B2, dtype=jnp.int32)
 
-            def _accum_pallas(_):
+            def suffix_body(i, T):
+                sh = 1 << i
+                Q = jax.tree_util.tree_map(
+                    lambda t: jnp.roll(t, -sh, axis=-1), T
+                )
+                cand = gs.add(T, Q)
+                return gs.select(iota_b < B2 - sh, cand, T)
+
+            T = jax.lax.fori_loop(0, c - 1, suffix_body, buckets)
+            return _tree_reduce(gs, T, B2)
+
+        if use_pallas_buckets:
+            # one pallas launch streams R rounds of gathered affine points
+            # through a VMEM-resident bucket accumulator; the weighted
+            # reduction runs as a compact jnp fori graph (or in-kernel with
+            # ZKSNAKE_MSM_FUSED=1). Degenerate digit skew (a run longer than
+            # R_static) falls back to the while_loop + jnp path.
+            import os
+
+            R_static = int(min(n, n // B2 + 129))
+            fused = os.environ.get("ZKSNAKE_MSM_FUSED", "0") == "1"
+
+            def _gathered():
                 kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
                 pos = jnp.clip(starts_by_digit[None, :] + kcol, 0, n - 1)
                 valid = (
-                    has_digit[None]
-                    & (kcol < len_by_digit[None])
-                    & (iota_b[None] > 0)
+                    has_digit[None] & (kcol < len_by_digit[None]) & ~inf_s[pos]
                 ).astype(jnp.int32)
                 leaves = [
                     jnp.transpose(leaf[:, pos], (1, 0, 2))
-                    for leaf in jax.tree_util.tree_leaves(Ps)
+                    for leaf in jax.tree_util.tree_leaves((Xs, Ys))
                 ]
-                return pallas_field.bucket_accumulate_pallas(
-                    gs, leaves, valid, R_static, B
-                )
+                return leaves, valid
 
-            buckets = jax.lax.cond(
-                maxrun <= R_static, _accum_pallas, _accum_loop, None
+            def _window_pallas(_):
+                leaves, valid = _gathered()
+                if fused:
+                    ws = pallas_field.window_accumulate_reduce_pallas(
+                        gs, leaves, valid, R_static, B2, c
+                    )
+                    return jax.tree_util.tree_map(lambda t: t[:, 0], ws)
+                buckets = pallas_field.bucket_accumulate_pallas(
+                    gs, leaves, valid, R_static, B2
+                )
+                return _reduce_jnp(buckets)
+
+            def _window_slow(_):
+                return _reduce_jnp(_accum_loop(None))
+
+            wsum = jax.lax.cond(
+                maxrun <= R_static, _window_pallas, _window_slow, None
             )
         else:
-            buckets = _accum_loop(None)
-
-        # weighted reduction: sum_b b*S_b = sum_{b>=1} T_b, T_b = sum_{j>=b} S_j
-        def suffix_body(i, T):
-            sh = 1 << i
-            Q = jax.tree_util.tree_map(lambda t: jnp.roll(t, -sh, axis=-1), T)
-            cand = gs.add(T, Q)
-            return gs.select(iota_b < B - sh, cand, T)
-
-        T = jax.lax.fori_loop(0, c, suffix_body, buckets)
-        # exclude T_0 (it's the total sum, not part of the weighted identity)
-        T = gs.select(iota_b > 0, T, gs.identity((B,)))
-        wsum = _tree_reduce(gs, T, B)
+            wsum = _reduce_jnp(_accum_loop(None))
 
         # Horner: result <- result * 2^c + wsum
         result = jax.lax.fori_loop(0, c, lambda i, R: gs.double(R), result)
@@ -249,15 +294,17 @@ def msm_pippenger(gs, P, slimbs, c=12):
 
 
 def _pick_window(n):
-    """Bucket window size minimizing W(c) * (N + (2c + slack) * 2^c):
-    the per-window cost of accumulation plus the suffix-scan reduction."""
+    """Bucket window size minimizing the per-MSM point-add count
+    ceil(nbits/c) * (N_accum + (2(c-1) + slack) * 2^(c-1)): accumulation
+    rounds plus the suffix-scan + tree reduction over the halved (signed
+    digits) bucket array."""
     if n >= (1 << 18):
-        return 12
+        return 13
     if n >= (1 << 14):
-        return 10
+        return 11
     if n >= (1 << 10):
-        return 8
-    return 6
+        return 9
+    return 7
 
 
 def msm_device(curve, group, points, scalars, point_cls):
@@ -294,4 +341,96 @@ def batch_mul_device(curve, group, points, scalars, point_cls):
     P = gs.points_to_device(points)
     kernel = _Kernels.batch(gs, nbits)
     result = kernel(P, slimbs)
+    return gs.points_from_device(result, point_cls)
+
+
+# ------------------------------------------------------------------
+# Fixed-base batch scalar multiplication (trusted-setup hot path)
+#
+# Groth16/PlonK setup multiplies ONE generator by 2^k tau-powers
+# (reference: batch_multi_scalar over a replicated base, curve.rs:326-354 via
+# groth16/protocol.py:81-83). With a shared base, per-lane double-and-add
+# (~2*nbits point-ops per scalar) collapses to the windowed table method:
+# precompute T[w][d] = d * 2^(cw) * P once per base, then each scalar is
+# W = ceil(nbits/c) table gathers + W mixed adds — ~16x fewer point-ops at
+# c = 8. Tables are built ON DEVICE (8-bit double-and-add over W*2^c lanes)
+# from W host-doubled window bases, then normalized to affine with one
+# batched Fermat inversion so the accumulation uses 13-product mixed adds.
+# ------------------------------------------------------------------
+
+_FIXED_BASE_C = 8
+_FB_TABLES = {}
+
+
+def _fixed_base_table(gs, base_point):
+    """((X, Y) affine leaves (NL, W*2^c), inf mask) for base_point's windows."""
+    key = (gs.curve.name, gs.group, base_point)
+    if key in _FB_TABLES:
+        return _FB_TABLES[key]
+    c = _FIXED_BASE_C
+    fr = FieldSpec.get(gs.curve.r)
+    W_ = (fr.nl * 16 + c - 1) // c
+    bases = []
+    b = base_point
+    for _ in range(W_):
+        bases.append(b)
+        for _ in range(c):
+            b = b + b  # host doubling of the window base (cheap, one lane)
+    Pb = gs.points_to_device(bases)  # (NL, W)
+    lanes = W_ << c
+    base_lanes = jax.tree_util.tree_map(
+        lambda t: jnp.repeat(t, 1 << c, axis=-1), Pb
+    )
+    dvals = jnp.tile(jnp.arange(1 << c, dtype=jnp.uint32), W_)
+
+    @jax.jit
+    def build(base_lanes, dlimbs):
+        T = _double_and_add(gs, base_lanes, dlimbs, c)
+        return gs.to_affine(T)
+
+    (tx, ty), inf = build(base_lanes, dvals[None, :])
+    entry = ((tx, ty), inf, W_, lanes)
+    _FB_TABLES[key] = entry
+    return entry
+
+
+class _FBKernels:
+    _cache = {}
+
+    @classmethod
+    def get(cls, gs, n, W_):
+        key = (gs.curve.name, gs.group, n, W_)
+        if key not in cls._cache:
+            c = _FIXED_BASE_C
+
+            @jax.jit
+            def kernel(tx, ty, inf, digits):
+                def body(w, acc):
+                    dw = jax.lax.dynamic_index_in_dim(
+                        digits, w, axis=0, keepdims=False
+                    )
+                    idx = (w << c) + dw.astype(jnp.int32)
+                    Qx = jax.tree_util.tree_map(lambda t: t[:, idx], tx)
+                    Qy = jax.tree_util.tree_map(lambda t: t[:, idx], ty)
+                    cand = gs.add_affine(acc, (Qx, Qy))
+                    return gs.select(~inf[idx], cand, acc)
+
+                acc0 = gs.identity((digits.shape[1],))
+                return jax.lax.fori_loop(0, W_, body, acc0)
+
+            cls._cache[key] = kernel
+        return cls._cache[key]
+
+
+def batch_mul_fixed_base(curve, group, base_point, scalars, point_cls):
+    """scalars[i] * base_point for all i, via windowed fixed-base tables."""
+    gs = get_group_spec(curve, group)
+    fr = FieldSpec.get(curve.r)
+    c = _FIXED_BASE_C
+    (tx, ty), inf, W_, _ = _fixed_base_table(gs, base_point)
+    slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
+    rows = [_extract_digit(slimbs, w, c) for w in range(W_)]
+    digits = jnp.stack(rows, axis=0)  # (W, n) low window first
+    kernel = _FBKernels.get(gs, len(scalars), W_)
+    result = kernel(tx, ty, inf, digits)
     return gs.points_from_device(result, point_cls)

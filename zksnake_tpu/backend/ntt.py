@@ -23,6 +23,13 @@ import jax.numpy as jnp
 from .field import FieldSpec, mont_mul, mod_add, mod_sub
 
 
+def _trace_state_clean():
+    try:
+        return jax.core.trace_state_clean()
+    except Exception:  # pragma: no cover - jax version drift
+        return False
+
+
 class Domain:
     """Radix-2 evaluation domain over Fr with cached device twiddles."""
 
@@ -69,6 +76,13 @@ class Domain:
         return cls._CACHE[key]
 
     # --- device tables ---
+    # Caching rule: inside a jit trace, jnp.asarray returns a TRACER even for
+    # host constants; caching one poisons every later trace that reuses this
+    # Domain (UnexpectedTracerError). Only cache when the trace state is
+    # clean; inside a trace, return an uncached constant for that graph.
+    def _cacheable(self):
+        return _trace_state_clean()
+
     def twiddles(self, inverse=False):
         if inverse:
             if self._tw_inv is None:
@@ -78,10 +92,16 @@ class Domain:
                 for _ in range(max(self.n // 2, 1)):
                     pw.append(w)
                     w = w * self.omega_inv % r
-                self._tw_inv = jnp.asarray(self.fs.to_mont_host(pw))
+                val = jnp.asarray(self.fs.to_mont_host(pw))
+                if not self._cacheable():
+                    return val
+                self._tw_inv = val
             return self._tw_inv
         if self._tw is None:
-            self._tw = jnp.asarray(self.fs.to_mont_host(self.powers_host))
+            val = jnp.asarray(self.fs.to_mont_host(self.powers_host))
+            if not self._cacheable():
+                return val
+            self._tw = val
         return self._tw
 
     def bitrev(self):
@@ -92,28 +112,50 @@ class Domain:
             rev = np.zeros(n, dtype=np.int32)
             for b in range(logn):
                 rev |= ((idx >> b) & 1) << (logn - 1 - b)
-            self._bitrev = jnp.asarray(rev)
+            val = jnp.asarray(rev)
+            if not self._cacheable():
+                return val
+            self._bitrev = val
         return self._bitrev
+
+    def warm(self):
+        """Eagerly build all device tables (call OUTSIDE any trace so later
+        jits share the cached device-resident arrays instead of embedding
+        per-trace constants)."""
+        self.twiddles(False)
+        self.twiddles(True)
+        self.bitrev()
+        return self
 
 
 def _ntt_core(dom: Domain, x, tw):
-    """x: (nl, n) Montgomery coeffs -> (nl, n) evaluations (natural order)."""
+    """x: (nl, n) or batched (nl, B, n) Montgomery coeffs -> evaluations
+    (natural order, same shape). The batched form runs B transforms through
+    ONE set of butterfly stages (the m-blocks of every stage subdivide each
+    length-n transform exactly, so batches never mix): one graph, B-times
+    wider lanes."""
     fs = dom.fs
     n = dom.n
     if n == 1:
         return x
     logn = n.bit_length() - 1
-    x = jnp.take(x, dom.bitrev(), axis=1)
+    batched = x.ndim == 3
+    B = x.shape[1] if batched else 1
+    x = jnp.take(x, dom.bitrev(), axis=-1)
+    if batched:
+        x = x.reshape(fs.nl, B * n)
     for s in range(1, logn + 1):
         m = 1 << s
         stride = n // m
         # twiddles for this stage: tw[0::stride][:m/2], shape (nl, m/2)
         w = tw[:, ::stride][:, : m // 2]
-        xb = x.reshape(fs.nl, n // m, m)
+        xb = x.reshape(fs.nl, B * n // m, m)
         u = xb[:, :, : m // 2]
         t = mont_mul(fs, xb[:, :, m // 2 :], w[:, None, :])
         x = jnp.concatenate([mod_add(fs, u, t), mod_sub(fs, u, t)], axis=2)
-        x = x.reshape(fs.nl, n)
+        x = x.reshape(fs.nl, B * n)
+    if batched:
+        x = x.reshape(fs.nl, B, n)
     return x
 
 
@@ -123,7 +165,7 @@ def ntt_device(dom: Domain, x):
 
 def intt_device(dom: Domain, x):
     y = _ntt_core(dom, x, dom.twiddles(True))
-    scale = dom.fs.const_mont_dev(dom.n_inv, (1,))
+    scale = dom.fs.const_mont_dev(dom.n_inv, (1,) * (x.ndim - 1))
     return mont_mul(dom.fs, y, scale)
 
 

@@ -95,6 +95,12 @@ def _compiled(nl, p_limbs_key, pinv, interpret):
 _STATE = {"checked": False, "on_tpu": False, "in_kernel": False}
 
 
+def _interpret():
+    import os
+
+    return os.environ.get("ZKSNAKE_PALLAS_INTERPRET", "0") == "1"
+
+
 def pallas_available():
     import os
 
@@ -104,6 +110,10 @@ def pallas_available():
         # already tracing inside a pallas kernel body: nested pallas_call is
         # invalid, use the jnp core
         return False
+    if _interpret():
+        # ZKSNAKE_PALLAS_INTERPRET=1: exercise the kernel logic on any
+        # backend via the pallas interpreter (CPU validation of TPU kernels)
+        return True
     if not _STATE["checked"]:
         try:
             _STATE["on_tpu"] = jax.default_backend() == "tpu"
@@ -116,17 +126,25 @@ def pallas_available():
 def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
     """Bucket accumulation for one Pippenger window as ONE pallas launch.
 
-    point_rounds_leaves: list of coordinate-limb tensors shaped (R, nl, B) —
-    round-major gathers of the sorted points (round k row b = the rank-k
-    element of digit-b's run). valid: (R, B) int32 mask. The bucket
+    point_rounds_leaves: list of AFFINE coordinate-limb tensors shaped
+    (R, nl, B) — the leaves of the (X, Y) tuple of round-major gathers of the
+    sorted points (round k row b = the rank-k element of digit-b's run);
+    streaming only 2 of 3 coordinates cuts HBM traffic by a third. valid:
+    (R, B) int32 mask (identity inputs pre-masked by the caller). The bucket
     accumulator lives in VMEM across all R grid steps (constant out-block
-    index); each step is one masked complete point-add on B lanes while the
-    next round's points stream in via the grid pipeline.
+    index); each step is one masked complete mixed point-add on B lanes
+    while the next round's points stream in via the grid pipeline. The
+    weighted reduction stays OUTSIDE (jnp fori_loop): unrolling its ~2c
+    point-adds inside the kernel made Mosaic compiles exceed 50 minutes
+    (window_accumulate_reduce_pallas — kept behind ZKSNAKE_MSM_FUSED=1).
     """
     from jax.experimental import pallas as pl
 
     nl = gs.fs.nl
     L = len(point_rounds_leaves)
+    ident0 = gs.identity((B,))
+    treedef = jax.tree_util.tree_structure(ident0)
+    xy_treedef = jax.tree_util.tree_structure((ident0[0], ident0[1]))
 
     def kernel(*refs):
         valid_ref = refs[0]
@@ -135,31 +153,30 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
         r = pl.program_id(0)
 
         ident = gs.identity((B,))
-        ident_leaves = jax.tree_util.tree_leaves(ident)
 
         @pl.when(r == 0)
         def _():
-            for oref, leaf in zip(out_refs, ident_leaves):
+            for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(ident)):
                 oref[...] = leaf
 
-        treedef = jax.tree_util.tree_structure(ident)
         bucket = jax.tree_util.tree_unflatten(
             treedef, [oref[...] for oref in out_refs]
         )
-        pt = jax.tree_util.tree_unflatten(
-            treedef, [iref[0] for iref in in_refs]
+        pt_xy = jax.tree_util.tree_unflatten(
+            xy_treedef, [iref[0] for iref in in_refs]
         )
-        res = gs.add(bucket, pt)
+        res = gs.add_affine(bucket, pt_xy)
         v = valid_ref[0, 0] != 0
         out = gs.select(v, res, bucket)
         for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(out)):
             oref[...] = leaf
 
+    n_out = len(jax.tree_util.tree_leaves(ident0))
     in_specs = [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))] + [
         pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)
     ]
-    out_specs = [pl.BlockSpec((nl, B), lambda r: (0, 0)) for _ in range(L)]
-    out_shape = [jax.ShapeDtypeStruct((nl, B), jnp.uint32) for _ in range(L)]
+    out_specs = [pl.BlockSpec((nl, B), lambda r: (0, 0)) for _ in range(n_out)]
+    out_shape = [jax.ShapeDtypeStruct((nl, B), jnp.uint32) for _ in range(n_out)]
 
     _STATE["in_kernel"] = True
     try:
@@ -169,11 +186,115 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            interpret=_interpret(),
         )(valid[:, None, :], *point_rounds_leaves)
     finally:
         _STATE["in_kernel"] = False
-    ident = gs.identity((B,))
-    treedef = jax.tree_util.tree_structure(ident)
+    return jax.tree_util.tree_unflatten(treedef, list(outs))
+
+
+def window_accumulate_reduce_pallas(gs, point_rounds_leaves, valid, R, B, c):
+    """One Pippenger window — bucket accumulation AND weighted reduction — as
+    ONE pallas launch. EXPERIMENTAL (ZKSNAKE_MSM_FUSED=1): the unrolled
+    in-kernel reduction makes Mosaic compile times impractical at B >= 2^11;
+    default path is bucket_accumulate_pallas + jnp reduction.
+
+    The bucket array lives in VMEM scratch (never touching HBM); each grid
+    step is one masked complete mixed point-add on B lanes (round k, bucket b
+    adds the rank-k element of digit-b's sorted run) while the next round's
+    points stream in via the grid pipeline. After the last round the kernel runs
+    the weighted bucket reduction in-place — (c-1) suffix-scan rounds
+    computing T_b = sum_{j>=b} S_j followed by a log2(B) rotation tree-sum of
+    all T_b (sum_b (b+1) S_b = sum_b T_b for the signed-digit layout where
+    bucket b holds |digit| = b+1) — and writes only the single window sum.
+    The jnp formulation of those ~c-1+log2(B) point-adds is HBM-bound; here
+    every roll/add runs on VMEM-resident tiles.
+
+    point_rounds_leaves: leaves of the (X, Y) affine gather tuple, (R, nl, B).
+    valid: (R, B) int32. Returns the window sum as projective (nl, 1) leaves.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nl = gs.fs.nl
+    L = len(point_rounds_leaves)
+    ident0 = gs.identity((B,))
+    treedef = jax.tree_util.tree_structure(ident0)
+    xy_treedef = jax.tree_util.tree_structure((ident0[0], ident0[1]))
+    n_out = len(jax.tree_util.tree_leaves(ident0))
+    interp = _interpret()
+    if interp:
+        _roll = lambda t, s: jnp.roll(t, s, axis=1)
+    else:
+        _roll = lambda t, s: pltpu.roll(t, s, axis=1)
+
+    def kernel(*refs):
+        valid_ref = refs[0]
+        in_refs = refs[1 : 1 + L]
+        out_refs = refs[1 + L : 1 + L + n_out]
+        scratch = refs[1 + L + n_out :]
+        r = pl.program_id(0)
+
+        ident = gs.identity((B,))
+
+        @pl.when(r == 0)
+        def _():
+            for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(ident)):
+                sref[...] = leaf
+
+        bucket = jax.tree_util.tree_unflatten(
+            treedef, [sref[...] for sref in scratch]
+        )
+        pt_xy = jax.tree_util.tree_unflatten(
+            xy_treedef, [iref[0] for iref in in_refs]
+        )
+        res = gs.add_affine(bucket, pt_xy)
+        v = valid_ref[0, 0] != 0
+        out = gs.select(v, res, bucket)
+        for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(out)):
+            sref[...] = leaf
+
+        @pl.when(r == R - 1)
+        def _():
+            T = jax.tree_util.tree_unflatten(
+                treedef, [sref[...] for sref in scratch]
+            )
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+            # suffix sums T_b = sum_{j>=b} S_j  (roll left by sh == right by B-sh)
+            for i in range(c - 1):
+                sh = 1 << i
+                Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
+                cand = gs.add(T, Q)
+                T = gs.select(iota_b < B - sh, cand, T)
+            # total = sum_b T_b via rotation tree
+            logb = B.bit_length() - 1
+            for i in range(logb):
+                sh = B >> (i + 1)
+                Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
+                T = gs.add(T, Q)
+            for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(T)):
+                oref[...] = leaf[:, 0:1]
+
+    in_specs = [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))] + [
+        pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)
+    ]
+    out_specs = [pl.BlockSpec((nl, 1), lambda r: (0, 0)) for _ in range(n_out)]
+    out_shape = [jax.ShapeDtypeStruct((nl, 1), jnp.uint32) for _ in range(n_out)]
+    scratch_shapes = [pltpu.VMEM((nl, B), jnp.uint32) for _ in range(n_out)]
+
+    _STATE["in_kernel"] = True
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(R,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interp,
+        )(valid[:, None, :], *point_rounds_leaves)
+    finally:
+        _STATE["in_kernel"] = False
     return jax.tree_util.tree_unflatten(treedef, list(outs))
 
 
@@ -196,7 +317,7 @@ def mont_mul_pallas(fs, a, b):
         pad = ((0, 0), (0, m_pad - m))
         a = jnp.pad(a, pad)
         b = jnp.pad(b, pad)
-    run = _compiled(nl, tuple(int(x) for x in fs.p_limbs), fs.pinv, False)
+    run = _compiled(nl, tuple(int(x) for x in fs.p_limbs), fs.pinv, _interpret())
     out = run(a, b)
     if m_pad != m:
         out = out[:, :m]

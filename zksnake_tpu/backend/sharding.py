@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .field import FieldSpec, mont_mul
 from .ntt import Domain, _ntt_core
-from .msm import _double_and_add, _tree_reduce
+from .msm import _double_and_add, _tree_reduce, msm_pippenger, _pick_window
 from .curve_ops import get_group_spec
 
 
@@ -53,8 +53,14 @@ def sharded_msm_fn(gs, mesh, axis="shards"):
     def local_msm(Px, Py, Pz, slimbs):
         n_local = slimbs.shape[1]
         nbits = slimbs.shape[0] * 16
-        acc = _double_and_add(gs, (Px, Py, Pz), slimbs, nbits)
-        partial = _tree_reduce(gs, acc, n_local)
+        if n_local >= 64:
+            # per-shard Pippenger (same fused kernel as single-chip)
+            partial = msm_pippenger(
+                gs, (Px, Py, Pz), slimbs, _pick_window(n_local)
+            )
+        else:
+            acc = _double_and_add(gs, (Px, Py, Pz), slimbs, nbits)
+            partial = _tree_reduce(gs, acc, n_local)
         # combine partials: all_gather (tiny: one point each) + local fold
         gathered = jax.lax.all_gather(partial, axis)  # leaves: (D, nl) etc.
         ndev = mesh.shape[axis]
@@ -122,6 +128,7 @@ def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
 
         twiddles = Domain.twiddles
         bitrev = Domain.bitrev
+        _cacheable = Domain._cacheable
 
     row_dom = _SubDomain(pow(dom.omega, n1, r), n2)
     col_dom = _SubDomain(pow(dom.omega, n2, r), n1)
