@@ -161,3 +161,58 @@ def test_plonk_device_prover(monkeypatch):
     plonk.setup()
     proof = plonk.prove(pub, priv)
     assert plonk.verify(Proof.from_bytes(proof.to_bytes()), pub)
+
+
+def test_prefix_prod_and_batch_inv():
+    from zksnake_tpu.backend.field import prefix_prod, mont_inv_batch
+
+    fs = FieldSpec.get(P)
+    random.seed(11)
+    xs = [random.randrange(1, P) for _ in range(37)]
+    xs[5] = 0  # zero lane must invert to zero without breaking the scan
+    a = jnp.asarray(fs.to_mont_host(xs))
+    got = fs.from_mont_host(np.asarray(jax.jit(lambda a: prefix_prod(fs, a))(a)))
+    want = []
+    acc = 1
+    for x in xs:
+        acc = acc * x % P
+        want.append(acc)
+    assert got == want
+    inv = fs.from_mont_host(
+        np.asarray(jax.jit(lambda a: mont_inv_batch(fs, a))(a))
+    )
+    assert inv == [pow(x, -1, P) if x else 0 for x in xs]
+
+
+def test_groth16_device_setup_matches_host(monkeypatch):
+    """Device trusted setup (tau-power scan, Lagrange batch inversion, L/R/O
+    transpose-SpMV, fixed-base MSMs) produces byte-identical keys to the host
+    reference loop, and its device-cached PK proves/verifies e2e."""
+    monkeypatch.setattr(_cfg, "NTT_DEVICE_THRESHOLD", 1)
+    from zksnake_tpu.constant import BN254_SCALAR_FIELD
+    from zksnake_tpu.arithmetization import Var, ConstraintSystem, R1CS
+    from zksnake_tpu.groth16 import Groth16
+
+    x = Var("x")
+    y = Var("y")
+    v1 = Var("v1")
+    cs = ConstraintSystem(["x"], ["y"], BN254_SCALAR_FIELD)
+    cs.add_constraint(v1 == x * x)
+    cs.add_constraint(y - 5 - x == v1 * x)
+    cs.set_public(y)
+    r1cs = R1CS(cs)
+    r1cs.compile()
+    pub, priv = r1cs.generate_witness(r1cs.solve({"x": 3}))
+
+    waste = (0xA11CE, 0xB0B, 0xCAFE, 0xD00D, 0xE66)
+    host = Groth16(r1cs)
+    host._setup_from_waste(*waste, force_host=True)
+    dev = Groth16(r1cs)
+    dev._setup_from_waste(*waste)
+    assert dev._device_prover is not None  # device path actually ran
+    assert dev._device_prover._pk_dev is not None  # PK stayed device-resident
+    assert dev.proving_key.to_bytes() == host.proving_key.to_bytes()
+    assert dev.verifying_key.to_bytes() == host.verifying_key.to_bytes()
+
+    proof = dev.prove(pub, priv)
+    assert dev.verify(proof, pub)

@@ -310,5 +310,46 @@ def mont_inv(fs, a):
     return mont_pow_int(fs, a, fs.p - 2)
 
 
+def prefix_prod(fs, x):
+    """Inclusive prefix product along the last axis of a (nl, n) limb tensor
+    (Hillis–Steele scan: ceil(log2 n) full-width mont_muls, one per fori
+    iteration so the graph stays one mont_mul instantiation deep)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    steps = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(k, a):
+        sh = jnp.int32(1) << k
+        rolled = jnp.roll(a, sh, axis=-1)
+        cand = mont_mul(fs, a, rolled)
+        cond = (idx >= sh).reshape((1,) * (a.ndim - 1) + (n,))
+        return jnp.where(cond, cand, a)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
+def mont_inv_batch(fs, x):
+    """Batched inversion of a (nl, n) limb tensor along the last axis via the
+    Montgomery product trick: two log-depth product scans + ONE Fermat
+    inversion of the total + two full-width muls (~2 log2(n) + 3 mont_muls vs
+    ~2·254 for per-lane Fermat). Zero lanes invert to zero (as `mont_inv`)."""
+    n = x.shape[-1]
+    if n == 1:
+        return mont_inv(fs, x)
+    is_zero = jnp.all(x == 0, axis=0)
+    one_col = fs.one_mont_dev((1,))
+    xs = jnp.where(is_zero[None], jnp.broadcast_to(one_col, x.shape), x)
+    pre = prefix_prod(fs, xs)  # pre[i] = x_0 … x_i
+    suf = jnp.flip(prefix_prod(fs, jnp.flip(xs, axis=-1)), axis=-1)
+    tinv = mont_pow_int(fs, pre[:, -1:], fs.p - 2)  # (total product)^-1
+    # inv(x_i) = pre[i-1] · suf[i+1] · total^-1
+    pre_s = jnp.concatenate([one_col, pre[:, :-1]], axis=1)
+    suf_s = jnp.concatenate([suf[:, 1:], one_col], axis=1)
+    out = mont_mul(fs, mont_mul(fs, pre_s, suf_s), tinv)
+    return jnp.where(is_zero[None], jnp.zeros_like(out), out)
+
+
 def eq_zero(fs, a):
     return jnp.all(a == 0, axis=0)

@@ -14,11 +14,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .field import FieldSpec, mont_mul, mod_sub, from_mont, to_mont
+from .field import (
+    FieldSpec,
+    mont_mul,
+    mod_add,
+    mod_sub,
+    from_mont,
+    to_mont,
+    prefix_prod,
+    mont_inv_batch,
+)
 from .ntt import Domain, ntt_device, intt_device
 from .spmv import DeviceSparseMatrix, reduce_wide
 from .curve_ops import get_group_spec
-from .msm import msm_device_raw
+from .msm import msm_device_raw, batch_mul_fixed_base_raw
 from .limbs import ints_to_limbs
 
 
@@ -38,6 +47,8 @@ class Groth16DeviceProver:
         self.C = DeviceSparseMatrix.from_sparse_array(fr, qap.c)
         self._pk_dev = None
         self._kernel = None
+        self._setup_kernel = None
+        self._w_pows = None
 
     def _spmv(self, mat, w_mont):
         terms = mont_mul(self.fr, mat.vals, w_mont[:, mat.cols])
@@ -101,6 +112,145 @@ class Groth16DeviceProver:
         if not bool(ok):
             raise ValueError("(U * V - W) did not divided by Z to zero")
         return u, v, h
+
+    # ------------------------------------------------------------------
+    # Device-resident trusted setup
+    #
+    # Replaces the reference's host loops (groth16/protocol.py:58-97: O(n)
+    # bignum tau powers, O(nnz) L/R/O accumulation, joblib tau^i·t·δ⁻¹) with
+    # one jitted scalar pipeline + fixed-base batch muls, and keeps the
+    # resulting proving-key point tensors on device so prove() never pays the
+    # host-point round-trip (SURVEY.md §1: keep data device-resident).
+    # ------------------------------------------------------------------
+
+    def _domain_elements(self):
+        """(nl, n) Montgomery tensor of ω^0..ω^{n-1} (ω^{n/2} = -1, so the
+        second half is the negation of the first half's table)."""
+        if self._w_pows is None:
+            r = self.fr.p
+            if self.n == 1:
+                full = [1]
+            else:
+                first = self.dom.powers_host  # n//2 entries
+                full = list(first) + [(r - w) % r for w in first]
+            self._w_pows = jnp.asarray(self.fr.to_mont_host(full))
+        return self._w_pows
+
+    def _spmv_t(self, mat, vec):
+        """Transpose SpMV: out[col] = Σ_rows val·vec[row] over n_col segments
+        (the L/R/O accumulation of groth16/protocol.py:58-76 is exactly
+        Aᵀ·lagrange etc. over the sparse triplets)."""
+        terms = mont_mul(self.fr, mat.vals, vec[:, mat.rows])
+        sums = jax.ops.segment_sum(terms.T, mat.cols, num_segments=self.m)
+        return reduce_wide(self.fr, sums.T)
+
+    def _build_setup_kernel(self, n_public):
+        fr = self.fr
+        n = self.n
+
+        def kernel(tau_m, alpha_m, beta_m, invgamma_m, invdelta_m,
+                   tinvdelta_m, zn_m, w_pows):
+            one = fr.one_mont_dev((1,))
+            tau_b = jnp.broadcast_to(tau_m, (fr.nl, n))
+            # τ^0..τ^{n-1} via a log-depth prefix-product scan
+            pow_tau = prefix_prod(fr, jnp.concatenate([one, tau_b[:, 1:]], 1))
+            # Lagrange coefficients at τ: l_i(τ) = (Z(τ)/n)·ωⁱ/(τ − ωⁱ)
+            den = mod_sub(fr, tau_b, w_pows)
+            lag = mont_mul(
+                fr, mont_mul(fr, zn_m, w_pows), mont_inv_batch(fr, den)
+            )
+            L = self._spmv_t(self.A, lag)
+            R = self._spmv_t(self.B, lag)
+            O = self._spmv_t(self.C, lag)
+            K = mod_add(
+                fr,
+                mod_add(fr, mont_mul(fr, L, beta_m), mont_mul(fr, R, alpha_m)),
+                O,
+            )
+            kgamma = mont_mul(fr, K[:, :n_public], invgamma_m)
+            kdelta = mont_mul(fr, K[:, n_public:], invdelta_m)
+            target = mont_mul(fr, pow_tau, tinvdelta_m)
+            return (
+                from_mont(fr, pow_tau),
+                from_mont(fr, target),
+                from_mont(fr, kdelta),
+                from_mont(fr, kgamma),
+            )
+
+        return jax.jit(kernel)
+
+    def setup_device(self, n_public, tau, alpha, beta, gamma, delta,
+                     g1_gen, g2_gen, point_cls_g1, point_cls_g2):
+        """Full trusted-setup hot path on device. Returns host point vectors
+        (tau_G1, tau_G2, target_G1, k_gamma_G1, k_delta_G1) for the key
+        objects and caches the affine device tensors as the prover's PK.
+
+        Caller must ensure τ is not a domain element (τⁿ ≠ 1); toxic waste is
+        uniform so the host path handles that negligible case."""
+        from ..metrics import phase
+
+        fr = self.fr
+        r = fr.p
+        inv_gamma = pow(gamma, -1, r)
+        inv_delta = pow(delta, -1, r)
+        z_tau = (pow(tau, self.n, r) - 1) % r
+        t_invdelta = z_tau * inv_delta % r
+        zn = z_tau * pow(self.n, -1, r) % r
+
+        def c1(v):
+            return jnp.asarray(fr.to_mont_host([v]))
+
+        if self._setup_kernel is None:
+            self._setup_kernel = self._build_setup_kernel(n_public)
+        with phase("groth16.setup.scalars", items=self.n):
+            pow_tau_raw, target_raw, kdelta_raw, kgamma_raw = self._setup_kernel(
+                c1(tau), c1(alpha), c1(beta), c1(inv_gamma), c1(inv_delta),
+                c1(t_invdelta), c1(zn), self._domain_elements(),
+            )
+
+        g1 = get_group_spec(self.curve, 1)
+        g2 = get_group_spec(self.curve, 2)
+
+        def norm(gs, P):
+            """Projective -> affine-with-{0,1}-Z tensors (the layout the
+            Pippenger mixed adds and points_to_device both use)."""
+            (ax, ay), inf = gs.to_affine(P)
+            one = gs.F.one(inf.shape)
+            zero = gs.F.zeros(inf.shape)
+            return (ax, ay, gs.F.select(inf, zero, one))
+
+        with phase("groth16.setup.msm", items=4 * self.n):
+            tau1 = norm(g1, batch_mul_fixed_base_raw(g1, g1_gen, pow_tau_raw))
+            tau2 = norm(g2, batch_mul_fixed_base_raw(g2, g2_gen, pow_tau_raw))
+            target1 = norm(
+                g1, batch_mul_fixed_base_raw(g1, g1_gen, target_raw)
+            )
+            kgamma1 = norm(
+                g1, batch_mul_fixed_base_raw(g1, g1_gen, kgamma_raw)
+            )
+            if kdelta_raw.shape[1] > 0:
+                kdelta1 = norm(
+                    g1, batch_mul_fixed_base_raw(g1, g1_gen, kdelta_raw)
+                )
+            else:
+                kdelta1 = None
+
+        self._pk_dev = {
+            "tau1": tau1,
+            "tau2": tau2,
+            "target1": target1,
+            "kdelta1": kdelta1,
+        }
+        with phase("groth16.setup.to_host", items=4 * self.n):
+            return (
+                g1.points_from_device(tau1, point_cls_g1),
+                g2.points_from_device(tau2, point_cls_g2),
+                g1.points_from_device(target1, point_cls_g1),
+                g1.points_from_device(kgamma1, point_cls_g1),
+                g1.points_from_device(kdelta1, point_cls_g1)
+                if kdelta1 is not None
+                else [],
+            )
 
     def pk_device(self, pk):
         """Device tensors of the proving key point vectors (cached)."""

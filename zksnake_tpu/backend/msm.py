@@ -80,7 +80,18 @@ class _Kernels:
 
     @classmethod
     def pippenger(cls, gs, n, nbits, c):
-        key = (gs.curve.name, gs.group, n, nbits, c)
+        from . import pallas_field
+
+        # the traced graph depends on whether the pallas chunked path is
+        # active (window group size G), so key the jit cache on it
+        key = (
+            gs.curve.name,
+            gs.group,
+            n,
+            nbits,
+            c,
+            pallas_field.pallas_available() and n >= PALLAS_MSM_MIN,
+        )
         if key not in cls._pip:
 
             @jax.jit
@@ -164,57 +175,100 @@ def _signed_window_digits(slimbs, c, nbits):
     return jnp.stack(rows[::-1], axis=0)
 
 
+# Per-round mont_mul batch target: the pallas accumulator's VPU utilization
+# scales with lanes per round, so windows are processed G = cap/2^(c-1) at a
+# time (bucket state for all G windows lives in VMEM: ~16 MB/core budget;
+# Fq2 coordinates double the state, halving the cap).
+PALLAS_LANE_CAP_G1 = 16384
+PALLAS_LANE_CAP_G2 = 8192
+
+
 def msm_pippenger(gs, P, slimbs, c=13):
     """Full MSM via bucket method. P: projective coords (NL, N) with affine
     inputs (Z in {0, 1}); slimbs: (SL, N) raw 16-bit scalar limbs. Returns
-    one projective point."""
+    one projective point.
+
+    Windows are processed in chunks of G per pallas launch: the bucket
+    accumulator covers G*2^(c-1) lanes, so each of the ~N/2^(c-1) rounds runs
+    a G-times-wider masked mixed add (profiled: at G=1 the per-round batch of
+    2^(c-1) lanes left the VPU starved — argsort and gathers were <20% of the
+    MSM; the point kernel dominated)."""
     from . import pallas_field
 
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
     B2 = 1 << (c - 1)  # bucket lane b holds the sum of points with |d| = b+1
     digits = _signed_window_digits(slimbs, c, nbits)  # (W, N) high-first
+    W_total = digits.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)
     use_pallas_buckets = pallas_field.pallas_available() and n >= PALLAS_MSM_MIN
+    if use_pallas_buckets:
+        cap = PALLAS_LANE_CAP_G1 if gs.group == 1 else PALLAS_LANE_CAP_G2
+        # G also bounds trace size (the slow-path fallback unrolls G
+        # while_loops and the Horner fold unrolls G segments)
+        G = max(1, min(W_total, cap // B2, 8))
+    else:
+        G = 1  # jnp path: keep the compact single-window graph
+    Wp = -(-W_total // G) * G
+    if Wp != W_total:
+        # pad with zero windows on the HIGH side: all-zero digits contribute
+        # nothing (their runs route to the dropped |d|=0 slot)
+        digits = jnp.concatenate(
+            [jnp.zeros((Wp - W_total, n), digits.dtype), digits], axis=0
+        )
+    dchunks = digits.reshape(Wp // G, G, n)
     X, Y, Z = P
     inf = gs.F.is_zero(Z)  # identity inputs (e.g. padding) are masked out
 
-    def window_body(result, dw):
-        mag = jnp.abs(dw)
-        order = jnp.argsort(mag)
-        ms = mag[order]
-        neg_s = (dw < 0)[order]
-        inf_s = inf[order]
-        Xs = jax.tree_util.tree_map(lambda t: t[:, order], X)
+    def chunk_body(result, dgroup):
+        mag = jnp.abs(dgroup)  # (G, n)
+        order = jnp.argsort(mag, axis=-1)
+        ms = jnp.take_along_axis(mag, order, axis=-1)
+        neg_s = jnp.take_along_axis(dgroup < 0, order, axis=-1)
+        inf_s = inf[order]  # (G, n)
+        Xs = jax.tree_util.tree_map(lambda t: t[:, order], X)  # (NL, G, n)
         Ys = jax.tree_util.tree_map(lambda t: t[:, order], Y)
         Ys = gs.negate_y(Ys, neg_s)
 
-        is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), ms[1:] != ms[:-1]])
-        run_start = jax.lax.cummax(jnp.where(is_start, iota_n, 0))
-        rank = iota_n - run_start
-        maxrun = jnp.max(rank) + 1
+        is_start = jnp.concatenate(
+            [jnp.ones((G, 1), jnp.bool_), ms[:, 1:] != ms[:, :-1]], axis=1
+        )
+        run_start = jax.lax.cummax(
+            jnp.where(is_start, iota_n[None], 0), axis=1
+        )
+        rank = iota_n[None] - run_start
+        # the |d| = 0 run never contributes adds, so it doesn't bound rounds
+        maxrun = jnp.max(jnp.where(ms > 0, rank, 0)) + 1
 
-        # scatter run metadata by bucket; the |d| = 0 run routes to index B2
-        # (out of bounds, dropped) so it can't clobber bucket 0 (|d| = 1)
+        # scatter run metadata by (window, bucket); the |d| = 0 run routes to
+        # index B2 (out of bounds, dropped) so it can't clobber bucket 0
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, n), 0)
         bidx = jnp.where(ms > 0, ms - 1, B2)
         starts_by_digit = (
-            jnp.zeros((B2,), jnp.int32).at[bidx].set(run_start, mode="drop")
+            jnp.zeros((G, B2), jnp.int32)
+            .at[gidx, bidx]
+            .set(run_start, mode="drop")
         )
         ends_by_digit = (
-            jnp.full((B2,), -1, jnp.int32).at[bidx].max(iota_n, mode="drop")
+            jnp.full((G, B2), -1, jnp.int32)
+            .at[gidx, bidx]
+            .max(jnp.broadcast_to(iota_n[None], (G, n)), mode="drop")
         )
         len_by_digit = ends_by_digit - starts_by_digit + 1
         has_digit = ends_by_digit >= 0
 
-        def _accum_loop(_):
+        def _accum_loop(g):
+            """while_loop bucket accumulation for window g (fallback path)."""
             buckets = gs.identity((B2,))
+            Xg = jax.tree_util.tree_map(lambda t: t[:, g], Xs)
+            Yg = jax.tree_util.tree_map(lambda t: t[:, g], Ys)
 
             def round_body(state):
                 k, buckets = state
-                pos = jnp.clip(starts_by_digit + k, 0, n - 1)
-                valid = has_digit & (k < len_by_digit) & ~inf_s[pos]
-                Qx = jax.tree_util.tree_map(lambda t: t[:, pos], Xs)
-                Qy = jax.tree_util.tree_map(lambda t: t[:, pos], Ys)
+                pos = jnp.clip(starts_by_digit[g] + k, 0, n - 1)
+                valid = has_digit[g] & (k < len_by_digit[g]) & ~inf_s[g, pos]
+                Qx = jax.tree_util.tree_map(lambda t: t[:, pos], Xg)
+                Qy = jax.tree_util.tree_map(lambda t: t[:, pos], Yg)
                 cand = gs.add_affine(buckets, (Qx, Qy))
                 buckets = gs.select(valid, cand, buckets)
                 return (k + 1, buckets)
@@ -224,9 +278,17 @@ def msm_pippenger(gs, P, slimbs, c=13):
             )
             return buckets
 
+        def _accum_all_slow():
+            """(NL, G, B2) bucket leaves via per-window while_loops."""
+            per_w = [_accum_loop(g) for g in range(G)]
+            return jax.tree_util.tree_map(
+                lambda *ts: jnp.stack(ts, axis=1), *per_w
+            )
+
         def _reduce_jnp(buckets):
-            # weighted reduction: sum_b (b+1)*S_b = sum_{b>=0} T_b,
-            # T_b = sum_{j>=b} S_j — suffix sums via log-depth roll scan
+            # weighted reduction (batched over the G window axis):
+            # sum_b (b+1)*S_b = sum_{b>=0} T_b, T_b = sum_{j>=b} S_j —
+            # suffix sums via log-depth roll scan on the trailing bucket axis
             iota_b = jnp.arange(B2, dtype=jnp.int32)
 
             def suffix_body(i, T):
@@ -238,58 +300,96 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 return gs.select(iota_b < B2 - sh, cand, T)
 
             T = jax.lax.fori_loop(0, c - 1, suffix_body, buckets)
-            return _tree_reduce(gs, T, B2)
+            return _tree_reduce(gs, T, B2)  # (NL, G) leaves
 
         if use_pallas_buckets:
             # one pallas launch streams R rounds of gathered affine points
-            # through a VMEM-resident bucket accumulator; the weighted
-            # reduction runs as a compact jnp fori graph (or in-kernel with
-            # ZKSNAKE_MSM_FUSED=1). Degenerate digit skew (a run longer than
-            # R_static) falls back to the while_loop + jnp path.
+            # through a VMEM-resident (G*B2)-lane bucket accumulator; the
+            # weighted reduction runs as a compact jnp fori graph (or
+            # in-kernel with ZKSNAKE_MSM_FUSED=1 when G == 1). Degenerate
+            # digit skew (a run longer than R_static) falls back to the
+            # while_loop + jnp path for the whole chunk.
             import os
 
             R_static = int(min(n, n // B2 + 129))
-            fused = os.environ.get("ZKSNAKE_MSM_FUSED", "0") == "1"
+            fused = (
+                G == 1 and os.environ.get("ZKSNAKE_MSM_FUSED", "0") == "1"
+            )
 
             def _gathered():
-                kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
-                pos = jnp.clip(starts_by_digit[None, :] + kcol, 0, n - 1)
+                kcol = jnp.arange(R_static, dtype=jnp.int32)[None, :, None]
+                pos = jnp.clip(
+                    starts_by_digit[:, None, :] + kcol, 0, n - 1
+                )  # (G, R, B2)
+                pos_flat = pos.reshape(G, R_static * B2)
+                inf_g = jnp.take_along_axis(inf_s, pos_flat, axis=1).reshape(
+                    G, R_static, B2
+                )
                 valid = (
-                    has_digit[None] & (kcol < len_by_digit[None]) & ~inf_s[pos]
+                    has_digit[:, None, :]
+                    & (kcol < len_by_digit[:, None, :])
+                    & ~inf_g
                 ).astype(jnp.int32)
+                valid = jnp.transpose(valid, (1, 0, 2)).reshape(
+                    R_static, G * B2
+                )
+                nl = gs.fs.nl
+
+                def gather(leaf):  # (NL, G, n) -> (R, NL, G*B2)
+                    src = jnp.take_along_axis(
+                        leaf,
+                        jnp.broadcast_to(
+                            pos_flat[None], (nl, G, R_static * B2)
+                        ),
+                        axis=2,
+                    ).reshape(nl, G, R_static, B2)
+                    return jnp.transpose(src, (2, 0, 1, 3)).reshape(
+                        R_static, nl, G * B2
+                    )
+
                 leaves = [
-                    jnp.transpose(leaf[:, pos], (1, 0, 2))
+                    gather(leaf)
                     for leaf in jax.tree_util.tree_leaves((Xs, Ys))
                 ]
                 return leaves, valid
 
-            def _window_pallas(_):
+            def _chunk_pallas(_):
                 leaves, valid = _gathered()
                 if fused:
                     ws = pallas_field.window_accumulate_reduce_pallas(
                         gs, leaves, valid, R_static, B2, c
                     )
-                    return jax.tree_util.tree_map(lambda t: t[:, 0], ws)
+                    return ws  # (NL, 1) leaves == (NL, G) at G == 1
                 buckets = pallas_field.bucket_accumulate_pallas(
-                    gs, leaves, valid, R_static, B2
+                    gs, leaves, valid, R_static, G * B2
+                )
+                buckets = jax.tree_util.tree_map(
+                    lambda t: t.reshape(t.shape[0], G, B2), buckets
                 )
                 return _reduce_jnp(buckets)
 
-            def _window_slow(_):
-                return _reduce_jnp(_accum_loop(None))
+            def _chunk_slow(_):
+                return _reduce_jnp(_accum_all_slow())
 
-            wsum = jax.lax.cond(
-                maxrun <= R_static, _window_pallas, _window_slow, None
+            wsums = jax.lax.cond(
+                maxrun <= R_static, _chunk_pallas, _chunk_slow, None
             )
         else:
-            wsum = _reduce_jnp(_accum_loop(None))
+            wsums = _reduce_jnp(_accum_all_slow())
 
-        # Horner: result <- result * 2^c + wsum
-        result = jax.lax.fori_loop(0, c, lambda i, R: gs.double(R), result)
-        result = gs.add(result, wsum)
+        # Horner across the chunk's windows (high window first):
+        # result <- result * 2^c + wsum_j
+        for j in range(G):
+            result = jax.lax.fori_loop(
+                0, c, lambda i, R: gs.double(R), result
+            )
+            result = gs.add(
+                result,
+                jax.tree_util.tree_map(lambda t: t[..., j], wsums),
+            )
         return result, None
 
-    result, _ = jax.lax.scan(window_body, gs.identity(()), digits)
+    result, _ = jax.lax.scan(chunk_body, gs.identity(()), dchunks)
     return result
 
 
@@ -404,7 +504,11 @@ class _FBKernels:
             c = _FIXED_BASE_C
 
             @jax.jit
-            def kernel(tx, ty, inf, digits):
+            def kernel(tx, ty, inf, slimbs):
+                digits = jnp.stack(
+                    [_extract_digit(slimbs, w, c) for w in range(W_)], axis=0
+                )  # (W, n) low window first
+
                 def body(w, acc):
                     dw = jax.lax.dynamic_index_in_dim(
                         digits, w, axis=0, keepdims=False
@@ -422,15 +526,19 @@ class _FBKernels:
         return cls._cache[key]
 
 
+def batch_mul_fixed_base_raw(gs, base_point, slimbs):
+    """Device-resident fixed-base batch mul: raw (non-Montgomery) scalar
+    limbs (SL, n) in, projective device point tensors out — no host
+    round-trip (the trusted-setup pipeline keeps everything on device)."""
+    (tx, ty), inf, W_, _ = _fixed_base_table(gs, base_point)
+    kernel = _FBKernels.get(gs, slimbs.shape[1], W_)
+    return kernel(tx, ty, inf, slimbs)
+
+
 def batch_mul_fixed_base(curve, group, base_point, scalars, point_cls):
     """scalars[i] * base_point for all i, via windowed fixed-base tables."""
     gs = get_group_spec(curve, group)
     fr = FieldSpec.get(curve.r)
-    c = _FIXED_BASE_C
-    (tx, ty), inf, W_, _ = _fixed_base_table(gs, base_point)
     slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
-    rows = [_extract_digit(slimbs, w, c) for w in range(W_)]
-    digits = jnp.stack(rows, axis=0)  # (W, n) low window first
-    kernel = _FBKernels.get(gs, len(scalars), W_)
-    result = kernel(tx, ty, inf, digits)
+    result = batch_mul_fixed_base_raw(gs, base_point, slimbs)
     return gs.points_from_device(result, point_cls)

@@ -51,16 +51,24 @@ class Groth16:
 
     def setup(self):
         """Trusted setup to generate `ProvingKey` and `VerifyingKey`"""
+        self._setup_from_waste(
+            get_random_int(self.order - 1),
+            get_random_int(self.order - 1),
+            get_random_int(self.order - 1),
+            get_random_int(self.order - 1),
+            get_random_int(self.order - 1),
+        )
+
+    def _setup_from_waste(self, tau, alpha, beta, gamma, delta, force_host=False):
+        """Setup from explicit toxic waste (factored for deterministic tests).
+
+        Large circuits run the whole hot path on device (tau powers, Lagrange
+        coefficients, L/R/O transpose-SpMV, fixed-base MSMs) and keep the
+        proving-key point tensors device-resident for prove(); the host path
+        mirrors the reference loop (groth16/protocol.py:32-113)."""
 
         G1 = self.E.G1()
         G2 = self.E.G2()
-
-        # generate random toxic waste
-        tau = get_random_int(self.order - 1)
-        alpha = get_random_int(self.order - 1)
-        beta = get_random_int(self.order - 1)
-        gamma = get_random_int(self.order - 1)
-        delta = get_random_int(self.order - 1)
 
         inv_gamma = pow(gamma, -1, self.order)
         inv_delta = pow(delta, -1, self.order)
@@ -74,6 +82,42 @@ class Groth16:
 
         n_constraints = self.qap.a.n_row
         n_witness = self.qap.a.n_col
+
+        dev = None if force_host else self._get_device_prover()
+        if dev is not None and pow(tau, n_constraints, self.order) != 1:
+            (
+                tau_G1,
+                tau_G2,
+                target_G1,
+                k_gamma_G1,
+                k_delta_G1,
+            ) = dev.setup_device(
+                self.qap.n_public,
+                tau,
+                alpha,
+                beta,
+                gamma,
+                delta,
+                G1,
+                G2,
+                self.E.curve.PointG1,
+                self.E.curve.PointG2,
+            )
+            self.proving_key = ProvingKey(
+                alpha_G1,
+                beta_G1,
+                beta_G2,
+                delta_G1,
+                delta_G2,
+                tau_G1,
+                tau_G2,
+                target_G1,
+                k_delta_G1,
+            )
+            self.verifying_key = VerifyingKey(
+                alpha_G1, beta_G2, gamma_G2, delta_G2, k_gamma_G1
+            )
+            return
 
         lagrange_coeffs = evaluate_lagrange_coefficients(n_constraints, tau, self.order)
 
