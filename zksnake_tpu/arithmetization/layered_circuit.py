@@ -1,99 +1,85 @@
-"""Layered arithmetic circuit for the GKR protocol.
+"""Layered arithmetic circuit (the GKR protocol's input format).
 
-API parity with /root/reference/python/zksnake/arithmetization/layered_circuit.py.
+Behavioral parity with
+/root/reference/python/zksnake/arithmetization/layered_circuit.py: ADD/MUL
+gates only, every gate input must come from the previous layer (or the
+circuit inputs at layer 0), wire labels dedupe in first-use order. Original
+implementation.
 """
 
 from typing import List, Sequence
 
+_GATE_OPS = {
+    "ADD": lambda x, y, p: (x + y) % p,
+    "MUL": lambda x, y, p: x * y % p,
+}
+
 
 class LayeredCircuit:
-    """Simple Layered Arithmetic Circuit to be used in GKR protocol."""
+    """Fan-in-2 layered circuit; layer i feeds only layer i+1."""
 
     def __init__(self, inputs: List[str]):
-        self.layers = [[]]
         self.inputs = inputs
+        self.layers = [[]]
         self._used_vars = []
-        self._current_layer = 0
-        self._allowed_inputs = set(inputs)
+        self._feedable = set(inputs)
 
     def add_layer(self):
-        """Add new layer"""
-        if self.layers[self._current_layer]:
-            allowed_inputs = set()
-            for _, input1, input2, output in self.layers[self._current_layer]:
-                allowed_inputs.add(output)
-                self._used_vars.extend([input1, input2, output])
-
-            self._allowed_inputs = allowed_inputs
-            self.layers.append([])
-            self._current_layer += 1
+        """Seal the current layer; its outputs become the next layer's
+        allowed inputs. A no-op while the current layer is empty."""
+        current = self.layers[-1]
+        if not current:
+            return
+        next_feedable = set()
+        for _, lhs, rhs, out in current:
+            next_feedable.add(out)
+            self._used_vars += [lhs, rhs, out]
+        self._feedable = next_feedable
+        self.layers.append([])
 
     def add_gate(self, gate_type, input1, input2, output):
-        """Add new gate to the current layer"""
-        if gate_type in ["ADD", "MUL"]:
-            if input1 not in self._allowed_inputs or input2 not in self._allowed_inputs:
-                raise ValueError(
-                    f"Gate inputs {input1}, {input2} must be from outputs "
-                    + "from previous layers or inputs from first layer"
-                )
-
-            if output in self._used_vars:
-                raise ValueError(f"Variable already used in another layer: {output}")
-
-            self.layers[self._current_layer].append((gate_type, input1, input2, output))
-        else:
+        if gate_type not in _GATE_OPS:
             raise ValueError("Invalid gate type")
+        if input1 not in self._feedable or input2 not in self._feedable:
+            raise ValueError(
+                f"Gate inputs {input1}, {input2} must be from outputs "
+                + "from previous layers or inputs from first layer"
+            )
+        if output in self._used_vars:
+            raise ValueError(f"Variable already used in another layer: {output}")
+        self.layers[-1].append((gate_type, input1, input2, output))
 
     def add(self, input1, input2, output):
-        """Short for `add_gate("ADD", input1, input2, output)`"""
         self.add_gate("ADD", input1, input2, output)
 
     def mul(self, input1, input2, output):
-        """Short for `add_gate("MUL", input1, input2, output)`"""
         self.add_gate("MUL", input1, input2, output)
 
     def get_wire_label(self):
-        """Get label of variables at each layer"""
+        """Per layer: the wire names feeding it (first-use order, deduped);
+        plus a final entry with the last layer's outputs."""
         labels = []
         for layer in self.layers:
-            current_layer_label = []
-            for _, input1, input2, _ in layer:
-                current_layer_label.extend([input1, input2])
-
-            current_layer_label = list(dict.fromkeys(current_layer_label))
-            labels.append(current_layer_label)
-
-        outputs = []
-        for _, _, _, out in self.layers[-1]:
-            outputs.append(out)
-
-        labels.append(outputs)
-
+            feeding = []
+            for _, lhs, rhs, _ in layer:
+                feeding += [lhs, rhs]
+            labels.append(list(dict.fromkeys(feeding)))
+        labels.append([out for _, _, _, out in self.layers[-1]])
         return labels
 
     def evaluate(self, input_map: dict, modulus: int) -> Sequence[dict]:
-        """Evaluate the layered circuit and return all wires value."""
-        values = input_map.copy()
-        eval_layers = [input_map.copy()]
-
-        if set(input_map.keys()) != set(self.inputs):
+        """Forward-evaluate every layer; returns one {wire: value} dict per
+        layer, inputs first."""
+        if set(input_map) != set(self.inputs):
             raise ValueError("Insufficient input values are supplied")
 
+        values = dict(input_map)
+        per_layer = [dict(input_map)]
         for layer in self.layers:
-            current_layer_eval = {}
-            for gate_type, input1, input2, output in layer:
-                val1 = values[input1]
-                val2 = values[input2]
-
-                result = 0
-                if gate_type == "ADD":
-                    result = (val1 + val2) % modulus
-                elif gate_type == "MUL":
-                    result = val1 * val2 % modulus
-
-                values[output] = result
-                current_layer_eval[output] = result
-
-            eval_layers.append(current_layer_eval)
-
-        return eval_layers
+            outputs = {}
+            for kind, lhs, rhs, out in layer:
+                result = _GATE_OPS[kind](values[lhs], values[rhs], modulus)
+                values[out] = result
+                outputs[out] = result
+            per_layer.append(outputs)
+        return per_layer

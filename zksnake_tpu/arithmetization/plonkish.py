@@ -1,6 +1,10 @@
-"""Plonkish wrapper over the symbolic constraint system.
+"""Plonkish wrapper: symbolic constraint system -> selector vectors + wires.
 
-API parity with /root/reference/python/zksnake/arithmetization/plonkish.py.
+Behavioral parity with
+/root/reference/python/zksnake/arithmetization/plonkish.py (selector padding
+to the next power of two, public-input extraction as negated gate constants,
+gate + copy-constraint satisfiability). Original implementation on top of the
+rebuilt compiler (plonkish_compiler.py).
 """
 
 from __future__ import annotations
@@ -8,118 +12,87 @@ from __future__ import annotations
 from ..ecc import EllipticCurve
 from ..utils import next_power_of_two
 
+SELECTORS = ("qL", "qR", "qO", "qM", "qC")
+
 
 class Plonkish:
-
     def __init__(self, cs, curve: str = "BN254"):
-        size = cs.num_constraints()
         self.constraint_system = cs
-        self.unpadded_length = size
-        self.length = next_power_of_two(size)
-        self.qL = None
-        self.qR = None
-        self.qO = None
-        self.qM = None
-        self.qC = None
+        self.p = EllipticCurve(curve).order
+        self.unpadded_length = cs.num_constraints()
+        self.length = next_power_of_two(self.unpadded_length)
+        for name in SELECTORS:
+            setattr(self, name, None)
         self.witness_map = []
         self.permutation = []
-        self.p = EllipticCurve(curve).order
 
     def compile(self):
-        """Compile Constraint System into Plonk selector vectors"""
-        compiled = self.constraint_system.compile_to_plonkish()
+        """Compile into per-gate selectors (padded to a power of two), the
+        3-per-gate wire-name map, and the copy-constraint permutation."""
+        gates, permutation = self.constraint_system.compile_to_plonkish()
 
-        qL = []
-        qR = []
-        qM = []
-        qO = []
-        qC = []
+        columns = [[] for _ in SELECTORS]
         witness_map = []
-        for c in compiled[0]:
-            qL += [c[0]]
-            qR += [c[1]]
-            qO += [c[2]]
-            qM += [c[3]]
-            qC += [c[4]]
-            witness_map.extend(c[5])
+        for gate in gates:
+            for col, value in zip(columns, gate[:5]):
+                col.append(value)
+            witness_map.extend(gate[5])
 
-        self.qL = qL + [0] * (self.length - len(qL))
-        self.qR = qR + [0] * (self.length - len(qR))
-        self.qO = qO + [0] * (self.length - len(qO))
-        self.qM = qM + [0] * (self.length - len(qM))
-        self.qC = qC + [0] * (self.length - len(qC))
+        pad = self.length - len(gates)
+        for name, col in zip(SELECTORS, columns):
+            setattr(self, name, col + [0] * pad)
         self.witness_map = witness_map
-
-        self.permutation = compiled[1]
+        self.permutation = permutation
 
     def solve(self, inputs: dict) -> dict:
-        """Solve the constraint system with given inputs"""
         return self.constraint_system.solve(inputs)
 
     def generate_witness(self, solve_result: dict):
-        """Generate Plonk full witness from solved Constraint System"""
-        pub_w = {}
-        priv_w = {}
-        for k, v in solve_result.items():
-            if k in self.constraint_system.public_vars:
-                pub_w[k] = v
-
-            priv_w[k] = v
-
-        private_witness = []
+        """Flatten the solved values into the [a, b, c] * n wire vector.
+        Output wires bound to public variables become public inputs
+        (recorded as -value mod p at their gate index) and zero out the
+        private slot."""
+        public_vars = self.constraint_system.public_vars
         pi = {}
-        pi_index = 0
-        for i in range(0, len(self.witness_map), 3):
-            k1 = self.witness_map[i]
-            k2 = self.witness_map[i + 1]
-            k3 = self.witness_map[i + 2]
-
-            private_witness += [priv_w[k1]] if k1 else [0]
-            private_witness += [priv_w[k2]] if k2 else [0]
-            if k3 in pub_w:
-                pi[pi_index] = -pub_w[k3] % self.p
-                pi_index += 1
-                private_witness += [0]
+        flat = []
+        for gate_idx in range(0, len(self.witness_map), 3):
+            name_a, name_b, name_c = self.witness_map[gate_idx : gate_idx + 3]
+            flat.append(solve_result[name_a] if name_a else 0)
+            flat.append(solve_result[name_b] if name_b else 0)
+            if name_c in public_vars:
+                pi[gate_idx // 3] = -solve_result[name_c] % self.p
+                flat.append(0)
             else:
-                pi_index += 1
-                private_witness += [priv_w[k3]] if k3 else [0]
+                flat.append(solve_result[name_c] if name_c else 0)
+        return pi, flat
 
-        return pi, private_witness
+    def is_sat(self, public_witness: dict, private_witness: list) -> bool:
+        a = private_witness[0::3]
+        b = private_witness[1::3]
+        c = private_witness[2::3]
 
-    def is_sat(self, public_witness: dict, private_witness: list):
-        """Check constraint satisfiability with the given witness"""
-        a, b, c = private_witness[::3], private_witness[1::3], private_witness[2::3]
-
-        # gate constraints
+        # gate equations
         for i in range(self.unpadded_length):
-            pi = public_witness.get(i, None) or 0
-            g = (
+            pi = public_witness.get(i) or 0
+            gate = (
                 self.qL[i] * a[i]
                 + self.qR[i] * b[i]
-                + self.qM[i] * (a[i] * b[i])
+                + self.qM[i] * a[i] * b[i]
                 + self.qO[i] * c[i]
-                + (self.qC[i] + pi)
+                + self.qC[i]
+                + pi
             )
-
-            if g % self.p != 0:
+            if gate % self.p:
                 return False
 
-        # copy constraints
-        a += [0] * (self.length - len(a))
-        b += [0] * (self.length - len(b))
-        c += [0] * (self.length - len(c))
-        flatten_witness = a + b + c
-        for src, dst in enumerate(self.permutation):
-            if flatten_witness[src] != flatten_witness[dst]:
-                return False
-
-        return True
+        # copy constraints over the flattened (a | b | c) slots
+        pad = [0] * (self.length - len(a))
+        flat = a + pad + b + pad + c + pad
+        return all(flat[src] == flat[dst] for src, dst in enumerate(self.permutation))
 
     def to_bytes(self):
-        """Serialize Plonkish object into bytes"""
         raise NotImplementedError
 
     @classmethod
     def from_bytes(cls, data):
-        """Construct Plonkish object from bytes"""
         raise NotImplementedError

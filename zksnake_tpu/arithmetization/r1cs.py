@@ -1,6 +1,9 @@
-"""R1CS wrapper over the symbolic constraint system.
+"""R1CS wrapper: symbolic constraint system -> sparse A/B/C matrices.
 
-API parity with /root/reference/python/zksnake/arithmetization/r1cs.py.
+Behavioral parity with /root/reference/python/zksnake/arithmetization/r1cs.py
+(canonical witness ordering [1, outputs, public, private, intermediates],
+Circom import path, Az o Bz == Cz satisfiability). Original implementation on
+top of the rebuilt compiler (r1cs_compiler.py) and SparseArray.
 """
 
 from __future__ import annotations
@@ -10,103 +13,89 @@ from ..ecc import EllipticCurve
 
 
 class R1CS:
-
     def __init__(self, cs, curve: str = "BN254"):
+        self.constraint_system = cs
+        self.p = EllipticCurve(curve).order
+        self.n_public = len(cs.public_vars) + 1
         self.A = None
         self.B = None
         self.C = None
-        self.constraint_system = cs
-        self.n_public = len(cs.public_vars) + 1
-        self.p = EllipticCurve(curve).order
 
     def compile(self):
-        """Compile Constraint System into R1CS Sparse Array"""
-        compiled = self.constraint_system.compile_to_r1cs()
-
-        row_length = self.constraint_system.num_constraints()
-        col_length = self.constraint_system.num_witness() + 1
-
-        A = SparseArray([[]], row_length, col_length, self.p)
-        B = SparseArray([[]], row_length, col_length, self.p)
-        C = SparseArray([[]], row_length, col_length, self.p)
-
-        for row in compiled:
-            A.append(row[0])
-            B.append(row[1])
-            C.append(row[2])
-
-        self.A = A
-        self.B = B
-        self.C = C
+        """Compile the constraint system into the three sparse matrices."""
+        rows = self.constraint_system.compile_to_r1cs()
+        shape = (
+            self.constraint_system.num_constraints(),
+            self.constraint_system.num_witness() + 1,
+        )
+        matrices = [SparseArray([[]], *shape, self.p) for _ in range(3)]
+        for row in rows:
+            for matrix, triplets in zip(matrices, row):
+                matrix.append(triplets)
+        self.A, self.B, self.C = matrices
 
     def solve(self, inputs: dict) -> dict:
-        """Solve the constraint system with given inputs"""
+        """Run the witness solver over the given inputs."""
         return self.constraint_system.solve(inputs)
 
     def generate_witness(self, solve_result: dict):
-        """Generate R1CS full witness from solved Constraint System"""
-        w = []
-
-        for v in self.constraint_system.get_witness_vector():
-            if v == "0":
-                w.append(1)
-            elif isinstance(v, str):
-                w.append(solve_result[v] % self.p)
+        """Assemble the full witness in canonical order and split it at the
+        public boundary. The constant wire "0" maps to 1."""
+        witness = []
+        for entry in self.constraint_system.get_witness_vector():
+            if entry == "0":
+                witness.append(1)
+            elif isinstance(entry, str):
+                witness.append(solve_result[entry] % self.p)
             else:
-                w.append(v % self.p)
+                witness.append(entry % self.p)
+        return witness[: self.n_public], witness[self.n_public :]
 
-        return w[: self.n_public], w[self.n_public :]
-
-    def is_sat(self, public_witness: list, private_witness: list):
-        """Check R1CS satisfiability with the given witness"""
-        assert self.A is not None, "R1CS is not compiled"
-
+    def is_sat(self, public_witness: list, private_witness: list) -> bool:
+        """Hadamard check: (A w) o (B w) == C w element-wise mod p."""
+        if self.A is None:
+            raise RuntimeError("R1CS is not compiled")
         w = public_witness + private_witness
-        Az = self.A.dot(w)
-        Bz = self.B.dot(w)
-        Cz = self.C.dot(w)
-
-        AzBz = [x * y % self.p for x, y in zip(Az, Bz)]
-
-        return AzBz == Cz
+        lhs = [
+            az * bz % self.p for az, bz in zip(self.A.dot(w), self.B.dot(w))
+        ]
+        return lhs == self.C.dot(w)
 
     def to_bytes(self):
-        """Serialize R1CS object into bytes"""
         raise NotImplementedError
 
     @classmethod
     def from_bytes(cls, data):
-        """Construct R1CS object from bytes"""
         raise NotImplementedError
 
     @classmethod
     def from_file(cls, r1csfile: str, symfile: str = None, curve: str = "BN254"):
+        """Import a Circom circuit (.r1cs binary + optional .sym map)."""
         from ..parser import R1CSReader
         from .symbolic import ConstraintSystem
 
-        p = EllipticCurve(curve).order
+        parsed = R1CSReader(r1csfile, symfile).read()
+        header = parsed["header"]
+        wires = parsed["wires"]
 
-        reader = R1CSReader(r1csfile, symfile)
-        result = reader.read()
+        # circom wire layout: [1, outputs, public inputs, private inputs, ...]
+        out_end = 1 + header["n_pub_out"]
+        pub_end = out_end + header["n_pub_in"]
+        priv_end = pub_end + header["n_priv_in"]
+        outputs = wires[1:out_end]
+        pub_inputs = wires[out_end:pub_end]
+        priv_inputs = wires[pub_end:priv_end]
 
-        output_offset = result["header"]["n_pub_out"] + 1
-        public_offset = output_offset + result["header"]["n_pub_in"]
-        private_offset = public_offset + result["header"]["n_priv_in"]
-        outputs = result["wires"][1:output_offset]
-        public_inputs = result["wires"][output_offset:public_offset]
-        private_inputs = result["wires"][public_offset:private_offset]
-
-        inputs_str = [str(x) for x in public_inputs + private_inputs]
-        outputs_str = [str(x) for x in outputs]
-
-        cs = ConstraintSystem(inputs_str, outputs_str, p)
-        for wire in result["wires"][1:]:
+        cs = ConstraintSystem(
+            [str(v) for v in pub_inputs + priv_inputs],
+            [str(v) for v in outputs],
+            EllipticCurve(curve).order,
+        )
+        for wire in wires[1:]:
             cs.add_variable(wire)
-
         cs.set_public(outputs)
-        cs.set_public(public_inputs)
+        cs.set_public(pub_inputs)
+        for equation in parsed["constraints"]:
+            cs.add_constraint(equation)
 
-        for constraint in result["constraints"]:
-            cs.add_constraint(constraint)
-
-        return R1CS(cs, curve)
+        return cls(cs, curve)

@@ -1,87 +1,108 @@
-"""Polynomial commitment scheme base + multi-opening query bookkeeping.
+"""Polynomial-commitment interface + batched-opening query bookkeeping.
 
-API parity with /root/reference/python/zksnake/commitment/polynomial/base.py.
+Role parity with /root/reference/python/zksnake/commitment/polynomial/base.py:
+`MultiOpeningQuery` tracks which polynomial (prover side) or commitment
+(verifier side) is opened at which point, in query order. The storage here is
+a single indexed table rather than the reference's parallel lists, but the
+iteration order (points in first-query order, polys in per-point query order)
+is identical, which is what the multi-open transcripts depend on.
 """
 
 from abc import ABC, abstractmethod
+
 from ...polynomial import lagrange_interpolation
 from ...transcript import FiatShamirTranscript
 
 
 class MultiOpeningQuery:
-
     def __init__(self):
         self.polynomials = []
         self.commitments = []
-        self.opening_points = {}
-        self.evaluations = {}
         self.blindings = []
+        # point -> [registered index, ...] in query order
+        self.opening_points = {}
+        # point -> {registered index: evaluation}
+        self.evaluations = {}
 
-    def prover_query(self, polynomial, point):
-        if polynomial not in self.polynomials:
-            self.polynomials.append(polynomial)
-
-        evaluation = polynomial(point)
-        poly_index = self.polynomials.index(polynomial)
-        if point not in self.opening_points:
-            self.opening_points[point] = [poly_index]
-            self.evaluations[point] = {poly_index: evaluation}
-        else:
-            self.opening_points[point] += [poly_index]
-            self.evaluations[point][poly_index] = evaluation
-
-    def verifier_query(self, commitment, point, evaluation):
-        if commitment not in self.commitments:
-            self.commitments.append(commitment)
-
-        poly_index = self.commitments.index(commitment)
-        if point not in self.opening_points:
-            self.opening_points[point] = [poly_index]
-            self.evaluations[point] = {poly_index: evaluation}
-        else:
-            self.opening_points[point] += [poly_index]
-            self.evaluations[point][poly_index] = evaluation
-
-    def to_polynomial(self, commitment):
-        index = self.commitments.index(commitment)
-        return self.polynomials[index]
-
-    def to_commitment(self, polynomial):
-        index = self.polynomials.index(polynomial)
-        return self.commitments[index]
-
-    def get_blinding(self, commitment):
-        index = self.commitments.index(commitment)
-        return self.blindings[index]
-
-    def get_evaluation(self, commitment, point):
-        index = self.commitments.index(commitment)
-        return self.evaluations[point][index]
+    def _record(self, index, point, evaluation):
+        self.opening_points.setdefault(point, []).append(index)
+        self.evaluations.setdefault(point, {})[index] = evaluation
 
     def add_polynomial(self, polynomial, commitment, blinding=None):
+        """Register a (polynomial, commitment) pair before querying it.
+        A falsy blinding registers as 1 (unblinded)."""
         if polynomial not in self.polynomials:
-            self.polynomials += [polynomial]
-            self.commitments += [commitment]
-            if blinding:
-                self.blindings += [blinding]
-            else:
-                self.blindings += [1]
+            self.polynomials.append(polynomial)
+            self.commitments.append(commitment)
+            self.blindings.append(blinding or 1)
+
+    def prover_query(self, polynomial, point):
+        """Prover side: evaluate and record an opening of `polynomial` at
+        `point` (registers the polynomial if unseen)."""
+        if polynomial not in self.polynomials:
+            self.polynomials.append(polynomial)
+        self._record(self.polynomials.index(polynomial), point, polynomial(point))
+
+    def verifier_query(self, commitment, point, evaluation):
+        """Verifier side: record a claimed evaluation for `commitment`."""
+        if commitment not in self.commitments:
+            self.commitments.append(commitment)
+        self._record(self.commitments.index(commitment), point, evaluation)
+
+    def to_polynomial(self, commitment):
+        return self.polynomials[self.commitments.index(commitment)]
+
+    def to_commitment(self, polynomial):
+        return self.commitments[self.polynomials.index(polynomial)]
+
+    def get_blinding(self, commitment):
+        return self.blindings[self.commitments.index(commitment)]
+
+    def get_evaluation(self, commitment, point):
+        return self.evaluations[point][self.commitments.index(commitment)]
 
     def get_polynomials(self):
-        item = self.polynomials
-        for point, idx in self.opening_points.items():
-            polys = [item[i] for i in idx]
-            yield point, polys
+        """Yield (point, [polynomials opened there]) in query order."""
+        for point, indices in self.opening_points.items():
+            yield point, [self.polynomials[i] for i in indices]
 
     def get_commitments(self):
-        item = self.commitments
-        for point, idx in self.opening_points.items():
-            commitments = [item[i] for i in idx]
-            yield point, commitments
+        """Yield (point, [commitments opened there]) in query order."""
+        for point, indices in self.opening_points.items():
+            yield point, [self.commitments[i] for i in indices]
+
+
+def group_by_opening_sets(query: MultiOpeningQuery):
+    """Partition queried commitments by the SET of points each is opened at.
+
+    Returns [(points, members), ...] where `points` dedupes in query order and
+    `members` lists the group's commitments in first-seen order. Both the
+    prover and the verifier derive this from their own query object; the
+    deterministic ordering is what keeps their challenge folds aligned.
+    (The reference's analogue walks Python sets — hash order — instead.)
+    """
+    opened_at = {}
+    for point, comms in query.get_commitments():
+        for comm in comms:
+            pts = opened_at.setdefault(comm, [])
+            if point not in pts:
+                pts.append(point)
+    groups = {}
+    order = []
+    for comm, pts in opened_at.items():
+        key = frozenset(pts)
+        if key not in groups:
+            groups[key] = (list(pts), [])
+            order.append(key)
+        else:
+            for p in pts:
+                if p not in groups[key][0]:
+                    groups[key][0].append(p)
+        groups[key][1].append(comm)
+    return [groups[k] for k in order]
 
 
 class PolynomialCommitmentScheme(ABC):
-
     def __init__(self, max_degree, group):
         self.degree = max_degree
         self.group = group
@@ -90,38 +111,36 @@ class PolynomialCommitmentScheme(ABC):
         self.is_setup = False
 
     def list_to_poly(self, values):
-        assert len(values) <= self.degree
-        x_s = list(range(len(values)))
-
-        return lagrange_interpolation(x_s, values, self.order)
+        """Interpolate `values` at x = 0..len-1 into a polynomial."""
+        if len(values) > self.degree:
+            raise ValueError("too many values for the committed degree")
+        return lagrange_interpolation(list(range(len(values))), values, self.order)
 
     @abstractmethod
     def zero_commitment(self):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def setup(self):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def commit(self, polynomial):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def open(self, polynomial, point):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def verify(self, commitment, proof, point, evaluation, transcript=None):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def multi_open(
-        self,
-        points_query: MultiOpeningQuery,
-        transcript: FiatShamirTranscript = None,
+        self, points_query: MultiOpeningQuery, transcript: FiatShamirTranscript = None
     ):
-        raise NotImplementedError()
+        ...
 
     @abstractmethod
     def multi_verify(
@@ -130,4 +149,4 @@ class PolynomialCommitmentScheme(ABC):
         proof: list,
         transcript: FiatShamirTranscript = None,
     ):
-        raise NotImplementedError()
+        ...

@@ -1,21 +1,37 @@
-"""IPA polynomial commitment scheme (BCMS20-style, blinded).
+"""Blinded inner-product-argument PCS (BCMS20 appendix A shape).
 
-API/semantics parity with
-/root/reference/python/zksnake/commitment/polynomial/ipa.py.
+Role parity with /root/reference/python/zksnake/commitment/polynomial/ipa.py:
+same transcript schedule, same proof tuple [L*, R*, C_bar, c, t'], same
+multipoint batching as KZG. Original implementation; the verifier expands the
+challenge polynomial g(X) = prod_j (1 + u_j X^(2^j)) by iterative doubling of
+its coefficient vector instead of polynomial products, and the MSMs in
+commit/open/verify ride the TPU dispatch in ecc.multiexp.
 """
 
 import math
-from collections import defaultdict
 
-from ...polynomial import Polynomial, lagrange_interpolation
 from ...ecc import EllipticCurve
-from ...transcript import hash_to_curve, FiatShamirTranscript
-from ...utils import inner_product, next_power_of_two, get_random_int
-from .base import MultiOpeningQuery, PolynomialCommitmentScheme
+from ...polynomial import Polynomial, lagrange_interpolation
+from ...transcript import FiatShamirTranscript, hash_to_curve
+from ...utils import get_random_int, inner_product, next_power_of_two
+from .base import (
+    MultiOpeningQuery,
+    PolynomialCommitmentScheme,
+    group_by_opening_sets,
+)
+
+
+def _halves(seq):
+    """Split into (low, high); a 1-element sequence yields an empty high."""
+    if len(seq) == 1:
+        return list(seq), []
+    mid = max(1, len(seq) // 2)
+    return list(seq[:mid]), list(seq[mid:])
 
 
 class IPA(PolynomialCommitmentScheme):
-    """Protocol based on BCMS20 (https://eprint.iacr.org/2020/499.pdf, App. A)."""
+    """Transparent-setup PCS: Pedersen-committed coefficients + log-round
+    halving argument (https://eprint.iacr.org/2020/499.pdf, App. A)."""
 
     def __init__(self, max_degree, group):
         super().__init__(max_degree, group)
@@ -26,400 +42,260 @@ class IPA(PolynomialCommitmentScheme):
         self.G = []
         self.H = None
 
-    def __split_half(self, data: list):
-        if len(data) > 2:
-            mid_index = len(data) // 2
-            return data[:mid_index], data[mid_index:]
-        elif len(data) == 2:
-            return [data[0]], [data[1]]
-        else:
-            return [data[0]], []
-
     def setup(self, seed=None):
+        """Derive the generator basis by hashing (nothing-up-my-sleeve)."""
         seed = seed or self.name.encode()
         self.n = next_power_of_two(self.degree)
         self.G = hash_to_curve(seed, b"G", self.E.name, self.n)
         self.H = hash_to_curve(seed, b"H", self.E.name, 1)
-
         self.is_setup = True
+
+    def _require_setup(self):
+        if not self.is_setup:
+            raise RuntimeError("Trusted setup has not been run")
 
     def zero_commitment(self):
         return self.E.curve.PointG1.identity()
 
+    def _padded_coeffs(self, polynomial, length):
+        coeffs = polynomial.coeffs()
+        return coeffs + [0] * (length - len(coeffs))
+
     # pylint: disable-next=arguments-differ
     def commit(self, polynomial, blinding: int):
-        assert self.is_setup, "Trusted setup has not been run"
-        assert (
-            polynomial.degree() < self.n
-        ), "Polynomial exceeded maximum allowed degree"
-
-        coeff = polynomial.coeffs() + [
-            0 for _ in range(self.n - polynomial.degree() - 1)
-        ]
-
-        return self.E.multiexp(self.G + [self.H], coeff + [blinding])
+        """Blinded Pedersen commitment <coeffs, G> + blinding * H."""
+        self._require_setup()
+        if polynomial.degree() >= self.n:
+            raise ValueError("Polynomial exceeded maximum allowed degree")
+        scalars = self._padded_coeffs(polynomial, self.n) + [blinding]
+        return self.E.multiexp(self.G + [self.H], scalars)
 
     # pylint: disable-next=arguments-differ
-    def open(
-        self,
-        polynomial,
-        point,
-        commitment,
-        blinding,
-        transcript=None,
-    ):
-        assert self.is_setup, "Trusted setup has not been run"
-
-        a = polynomial.coeffs() + [0 for _ in range(self.n - polynomial.degree())]
-        b = [pow(point, i, self.order) for i in range(self.n)]
+    def open(self, polynomial, point, commitment, blinding, transcript=None):
+        self._require_setup()
         evaluation = polynomial(point)
-
         transcript = transcript or FiatShamirTranscript(self.name.encode(), self.order)
-        transcript.append(self.G)
-        transcript.append(self.H)
-        transcript.append(point)
-        transcript.append(evaluation)
-        transcript.append(commitment)
+        for item in (self.G, self.H, point, evaluation, commitment):
+            transcript.append(item)
 
-        poly_r = Polynomial(
+        # Mask with a random polynomial shifted to vanish at `point`, so the
+        # halving argument leaks nothing about f beyond f(point).
+        mask = Polynomial(
             [get_random_int(self.order - 1) for _ in range(self.n)], self.order
         )
-        f_bar = poly_r - poly_r(point)
-        a_bar = f_bar.coeffs()
-
-        t_bar = get_random_int(self.order - 1)
-        commitment_bar = self.E.multiexp(self.G + [self.H], a_bar + [t_bar])
-
+        mask -= mask(point)
+        mask_blind = get_random_int(self.order - 1)
+        commitment_bar = self.E.multiexp(
+            self.G + [self.H], self._padded_coeffs(mask, self.n) + [mask_blind]
+        )
         transcript.append(commitment_bar)
         alpha = transcript.get_challenge_scalar()
 
-        c = [(x + alpha * y) % self.order for x, y in zip(a, a_bar)]
-        t_prime = blinding + alpha * t_bar
+        a_vec = self._padded_coeffs(polynomial, self.n)
+        m_vec = self._padded_coeffs(mask, self.n)
+        c = [(a + alpha * mv) % self.order for a, mv in zip(a_vec, m_vec)]
+        t_prime = blinding + alpha * mask_blind
 
         commitment_prime = self.E.multiexp(self.G, c)
         transcript.append(commitment_prime)
         h_prime = hash_to_curve(transcript.get_challenge(), b"U", self.E.name, 1)
+        transcript.append(commitment_prime + evaluation * h_prime)
 
-        commitment_0 = commitment_prime + evaluation * h_prime
-        transcript.append(commitment_0)
+        b = [pow(point, i, self.order) for i in range(self.n)]
+        basis = list(self.G)
+        rounds_L, rounds_R = [], []
 
-        L_list = []
-        R_list = []
-        u_list = []
+        while len(c) > 1:
+            c_lo, c_hi = _halves(c)
+            b_lo, b_hi = _halves(b)
+            g_lo, g_hi = _halves(basis)
 
-        n = self.n
-        G = self.G
-
-        while n != 1:
-            n //= 2
-
-            c_low, c_hi = self.__split_half(c)
-            b_low, b_hi = self.__split_half(b)
-            G_low, G_hi = self.__split_half(G)
-
-            L = (
-                self.E.multiexp(G_low, c_hi)
-                + inner_product(c_hi, b_low, self.order) * h_prime
-            )
-
-            R = (
-                self.E.multiexp(G_hi, c_low)
-                + inner_product(c_low, b_hi, self.order) * h_prime
-            )
-
-            L_list.append(L)
-            R_list.append(R)
-
+            L = self.E.multiexp(g_lo, c_hi) + inner_product(c_hi, b_lo, self.order) * h_prime
+            R = self.E.multiexp(g_hi, c_lo) + inner_product(c_lo, b_hi, self.order) * h_prime
+            rounds_L.append(L)
+            rounds_R.append(R)
             transcript.append(L)
             transcript.append(R)
 
             u = transcript.get_challenge_scalar()
-            u_inv = pow(u, -1, self.E.order)
-            u_list.append(u)
+            u_inv = pow(u, -1, self.order)
+            c = [(lo + u_inv * hi) % self.order for lo, hi in zip(c_lo, c_hi)]
+            b = [(lo + u * hi) % self.order for lo, hi in zip(b_lo, b_hi)]
+            basis = [lo + u * hi for lo, hi in zip(g_lo, g_hi)]
 
-            for i in range(n):
-                c_low[i] = (c_low[i] + c_hi[i] * u_inv) % self.E.order
-                b_low[i] = (b_low[i] + b_hi[i] * u) % self.E.order
-
-                G_low[i] = G_low[i] + u * G_hi[i]
-
-            c = c_low
-            b = b_low
-
-            G = G_low
-
-        c = c[0]
-
-        return [L_list, R_list, commitment_bar, c, t_prime], evaluation
+        return [rounds_L, rounds_R, commitment_bar, c[0], t_prime], evaluation
 
     def verify(self, commitment, proof, point, evaluation, transcript=None):
-        assert self.is_setup, "Trusted setup has not been run"
+        self._require_setup()
         if len(proof) != 5:
             return False
+        rounds_L, rounds_R, commitment_bar, c, t_prime = proof
 
-        b = [pow(point, i, self.order) for i in range(self.n)]
-        L_list = proof[0]
-        R_list = proof[1]
-        commitment_bar = proof[2]
-        c = proof[3]
-        t_prime = proof[4]
-
-        if (
+        degenerate = (
             commitment.is_zero()
             or commitment_bar.is_zero()
             or t_prime % self.order == 0
             or c % self.order == 0
-        ):
+        )
+        if degenerate:
             return False
 
         transcript = transcript or FiatShamirTranscript(self.name.encode(), self.order)
-        transcript.append(self.G)
-        transcript.append(self.H)
-        transcript.append(point)
-        transcript.append(evaluation)
-        transcript.append(commitment)
-        transcript.append(commitment_bar)
-
+        for item in (self.G, self.H, point, evaluation, commitment, commitment_bar):
+            transcript.append(item)
         alpha = transcript.get_challenge_scalar()
 
         commitment_prime = commitment + alpha * commitment_bar - t_prime * self.H
         transcript.append(commitment_prime)
-
         h_prime = hash_to_curve(transcript.get_challenge(), b"U", self.E.name, 1)
         C = commitment_prime + evaluation * h_prime
         transcript.append(C)
 
+        n_rounds = int(math.log2(self.n))
         u_list = []
-        m = int(math.log2(self.n))
-        for i in range(m):
-
-            if L_list[i].is_zero() or R_list[i].is_zero():
+        for L, R in zip(rounds_L[:n_rounds], rounds_R[:n_rounds]):
+            if L.is_zero() or R.is_zero():
                 return False
-
-            transcript.append(L_list[i])
-            transcript.append(R_list[i])
-
+            transcript.append(L)
+            transcript.append(R)
             u = transcript.get_challenge_scalar()
             u_list.append(u)
+            C = pow(u, -1, self.order) * L + C + u * R
 
-            u_inv = pow(u, -1, self.E.order)
-            C = u_inv * L_list[i] + C + u * R_list[i]
+        # g(X) = prod_j (1 + u_{last-j} X^(2^j)); expand by doubling the
+        # coefficient vector per factor.
+        s = [1]
+        for u in reversed(u_list):
+            s = s + [v * u % self.order for v in s]
 
-        # g(X) = prod(1 + u_j X^(2^j))
-        g = Polynomial([1], self.order)
-        for i in range(m):
-            coeff = [1] + [0] * 2**i
-            coeff[-1] = u_list[m - i - 1]
-            g *= Polynomial(coeff, self.order)
+        folded_G = self.E.multiexp(self.G, s)
+        powers = [pow(point, i, self.order) for i in range(self.n)]
+        folded_b = inner_product(powers, s, self.order)
 
-        G = self.E.multiexp(self.G, g.coeffs())
-        b = inner_product(b, g.coeffs(), self.order)
+        return C == self.E.multiexp([folded_G, h_prime], [c, c * folded_b % self.order])
 
-        return C == self.E.multiexp([G, h_prime], [c, c * b % self.order])
+    # -- multipoint batching (same schedule as KZG, plus blinding math) --
 
-    def _group_evaluation(
-        self,
-        points_query: MultiOpeningQuery,
-        x: int,
-        is_verifier=False,
-    ):
-        """Group polynomials by their evaluation-point sets; x1-fold with
-        blinding tracking (ipa.py:219-296)."""
-
-        group_map = defaultdict(set)
-        for point, commitments in points_query.get_commitments():
-            for commitment in commitments:
-                group_map[commitment].add(point)
-
-        result_map = defaultdict(set)
-        for value, keys in group_map.items():
-            result_map[frozenset(keys)].add(value)
-
-        q_polys = []
-        q_blindings = []
-        r_polys = []
-        points_list = []
-        for points, commitments in result_map.items():
-            if not is_verifier:
-                polys = [
-                    points_query.to_polynomial(commitment) for commitment in commitments
-                ]
-                q = Polynomial([0], self.order)
-                for i, poly in enumerate(polys):
-                    q += pow(x, i, self.order) * poly
-
-                blindings = [
-                    points_query.get_blinding(commitment) for commitment in commitments
-                ]
-                blind = 0
-                for i, blinding in enumerate(blindings):
-                    blind += pow(x, i, self.order) * blinding
-                blind %= self.order
-            else:
-                q = self.zero_commitment()
-                for i, comm in enumerate(commitments):
-                    q += pow(x, i, self.order) * comm
-
-            xs = []
-            ys = []
-            for i, point in enumerate(points):
-                if not is_verifier:
-                    evaluation = q(point)
-                else:
-                    evaluation = (
-                        sum(
-                            [
-                                pow(x, j, self.order)
-                                * points_query.get_evaluation(comm, point)
-                                % self.order
-                                for j, comm in enumerate(commitments)
-                            ]
-                        )
-                        % self.order
+    def _fold_groups(self, query: MultiOpeningQuery, x1: int, as_verifier: bool):
+        folded, blinds, r_polys, points_per_group = [], [], [], []
+        for points, members in group_by_opening_sets(query):
+            if as_verifier:
+                acc = self.zero_commitment()
+                for i, comm in enumerate(members):
+                    acc += pow(x1, i, self.order) * comm
+                interp_ys = [
+                    sum(
+                        pow(x1, i, self.order) * query.get_evaluation(comm, p)
+                        for i, comm in enumerate(members)
                     )
-
-                xs.append(point)
-                ys.append(evaluation)
-
-            r = lagrange_interpolation(xs, ys, self.order)
-
-            q_polys.append(q)
-            r_polys.append(r)
-            points_list.append(list(points))
-            if not is_verifier:
-                q_blindings.append(blind)
-
-        return q_polys, q_blindings, r_polys, points_list
+                    % self.order
+                    for p in points
+                ]
+            else:
+                acc = Polynomial([0], self.order)
+                blind = 0
+                for i, comm in enumerate(members):
+                    w = pow(x1, i, self.order)
+                    acc += w * query.to_polynomial(comm)
+                    blind = (blind + w * query.get_blinding(comm)) % self.order
+                blinds.append(blind)
+                interp_ys = [acc(p) for p in points]
+            folded.append(acc)
+            r_polys.append(lagrange_interpolation(points, interp_ys, self.order))
+            points_per_group.append(points)
+        return folded, blinds, r_polys, points_per_group
 
     def multi_open(self, points_query: MultiOpeningQuery, transcript=None):
-        """Halo2-style multipoint opening argument."""
-        assert self.is_setup, "Trusted setup has not been run"
-
+        self._require_setup()
         transcript = transcript or FiatShamirTranscript(self.name.encode(), self.order)
         transcript.append(points_query.commitments)
 
-        proof = []
         verifier_query = MultiOpeningQuery()
         for point, polys in points_query.get_polynomials():
             for poly in polys:
-                evaluation = poly(point)
-                comm = points_query.to_commitment(poly)
-                verifier_query.verifier_query(comm, point, evaluation)
-
-                transcript.append(evaluation)
+                y = poly(point)
+                verifier_query.verifier_query(
+                    points_query.to_commitment(poly), point, y
+                )
+                transcript.append(y)
 
         x1 = transcript.get_challenge_scalar()
         x2 = transcript.get_challenge_scalar()
 
-        q_polys, q_blindings, r_polys, points_list = self._group_evaluation(
-            points_query, x1
+        q_polys, q_blinds, r_polys, group_points = self._fold_groups(
+            points_query, x1, False
         )
 
-        f_polys = []
-        for i, points in enumerate(points_list):
-            divisor = Polynomial([1], self.order)
-            for point in points:
-                divisor *= Polynomial([-point % self.order, 1], self.order)
-
-            quotient, remainder = (q_polys[i] - r_polys[i]) / divisor
-            assert remainder.is_zero()
-
-            f_polys.append(quotient)
-
         f_poly = Polynomial([0], self.order)
-        for i, poly in enumerate(f_polys):
-            f_poly += pow(x2, i, self.order) * poly
+        for i, points in enumerate(group_points):
+            divisor = Polynomial([1], self.order)
+            for p in points:
+                divisor *= Polynomial([(-p) % self.order, 1], self.order)
+            quotient, remainder = (q_polys[i] - r_polys[i]) / divisor
+            if not remainder.is_zero():
+                raise ValueError("multi_open: non-zero remainder")
+            f_poly += pow(x2, i, self.order) * quotient
 
         f_blind = get_random_int(self.order)
         f_commitment = self.commit(f_poly, f_blind)
-
-        proof.append(f_commitment)
         transcript.append(f_commitment)
         x3 = transcript.get_challenge_scalar()
 
-        q_polys_x3 = [q(x3) for q in q_polys]
-
-        proof.extend(q_polys_x3)
-        transcript.append(q_polys_x3)
+        q_at_x3 = [q(x3) for q in q_polys]
+        transcript.append(q_at_x3)
         x4 = transcript.get_challenge_scalar()
 
         final_poly = f_poly
-        for i, poly in enumerate(q_polys):
-            final_poly += pow(x4, i + 1, self.order) * poly
+        final_blind = f_blind
+        for i, (q, qb) in enumerate(zip(q_polys, q_blinds)):
+            w = pow(x4, i + 1, self.order)
+            final_poly += w * q
+            final_blind = (final_blind + w * qb) % self.order
 
-        final_blinding = f_blind
-        for i, blind in enumerate(q_blindings):
-            final_blinding += pow(x4, i + 1, self.order) * blind
-        final_blinding %= self.order
-
-        final_commitment = self.commit(final_poly, final_blinding)
+        final_commitment = self.commit(final_poly, final_blind)
         opening_proof, _ = self.open(
-            final_poly, x3, final_commitment, final_blinding, transcript
+            final_poly, x3, final_commitment, final_blind, transcript
         )
-        proof.append(opening_proof)
+        return [f_commitment] + q_at_x3 + [opening_proof], verifier_query
 
-        return proof, verifier_query
-
-    def multi_verify(
-        self,
-        points_query: MultiOpeningQuery,
-        proof: list,
-        transcript: FiatShamirTranscript = None,
-    ):
-        assert self.is_setup, "Trusted setup has not been run"
-        assert len(proof) > 2, "Invalid proof"
+    def multi_verify(self, points_query, proof, transcript=None):
+        self._require_setup()
+        if len(proof) <= 2:
+            raise ValueError("Invalid proof")
 
         transcript = transcript or FiatShamirTranscript(self.name.encode(), self.order)
         transcript.append(points_query.commitments)
-
-        for point, commitments in points_query.get_commitments():
-            for commitment in commitments:
-                evaluation = points_query.get_evaluation(commitment, point)
-                transcript.append(evaluation)
+        for point, comms in points_query.get_commitments():
+            for comm in comms:
+                transcript.append(points_query.get_evaluation(comm, point))
 
         x1 = transcript.get_challenge_scalar()
         x2 = transcript.get_challenge_scalar()
 
-        f_commitment = proof.pop(0)
-        opening_proof = proof.pop()
-        q_polys_x3 = proof
-
+        f_commitment, q_at_x3, opening_proof = proof[0], proof[1:-1], proof[-1]
         transcript.append(f_commitment)
         x3 = transcript.get_challenge_scalar()
-        transcript.append(q_polys_x3)
+        transcript.append(q_at_x3)
         x4 = transcript.get_challenge_scalar()
 
-        q_commitments, _, r_polys, points_list = self._group_evaluation(
-            points_query, x1, True
-        )
+        q_comms, _, r_polys, group_points = self._fold_groups(points_query, x1, True)
 
-        f_poly_x3 = 0
-        for i, points in enumerate(points_list):
-            denominator = 1
-            for point in points:
-                denominator = denominator * (x3 - point) % self.order
-
-            numerator = (q_polys_x3[i] - r_polys[i](x3)) % self.order
-
-            f_poly_x3 += (
-                pow(x2, i, self.order)
-                * numerator
-                * pow(denominator, -1, self.order)
-                % self.order
-            )
-
-        f_poly_x3 %= self.order
+        f_at_x3 = 0
+        for i, points in enumerate(group_points):
+            denom = 1
+            for p in points:
+                denom = denom * (x3 - p) % self.order
+            numer = (q_at_x3[i] - r_polys[i](x3)) % self.order
+            f_at_x3 += pow(x2, i, self.order) * numer * pow(denom, -1, self.order)
+        f_at_x3 %= self.order
 
         final_commitment = f_commitment
-        for i, commitment in enumerate(q_commitments):
-            final_commitment += pow(x4, i + 1, self.order) * commitment
-
-        q_x4 = 0
-        for i, q in enumerate(q_polys_x3):
-            q_x4 += pow(x4, i + 1, self.order) * q
-
-        final_poly_x3 = (f_poly_x3 + q_x4) % self.order
+        final_eval = f_at_x3
+        for i, (qc, qv) in enumerate(zip(q_comms, q_at_x3)):
+            w = pow(x4, i + 1, self.order)
+            final_commitment += w * qc
+            final_eval = (final_eval + w * qv) % self.order
 
         return self.verify(
-            final_commitment, opening_proof, x3, final_poly_x3, transcript
+            final_commitment, opening_proof, x3, final_eval, transcript
         )

@@ -1,19 +1,30 @@
-"""Vector commitment scheme base (parity with reference commitment/vector/base.py)."""
+"""Vector-commitment interface.
+
+Role parity with /root/reference/python/zksnake/commitment/vector/base.py.
+"""
+
+from abc import ABC, abstractmethod
 
 
-class VectorCommitmentScheme:
+class VectorCommitmentScheme(ABC):
+    """commit(vector) -> digest; open(vector, i) -> proof; verify checks
+    membership of `element` at position `i` under the digest."""
 
     def __init__(self):
         self.order = None
 
+    @abstractmethod
     def setup(self):
-        raise NotImplementedError()
+        ...
 
+    @abstractmethod
     def commit(self, vector):
-        raise NotImplementedError()
+        ...
 
+    @abstractmethod
     def open(self, vector, index):
-        raise NotImplementedError()
+        ...
 
+    @abstractmethod
     def verify(self, commitment, proof, index, element):
-        raise NotImplementedError()
+        ...

@@ -1,67 +1,58 @@
-"""Merkle tree vector commitment (blake2b), odd nodes duplicated.
+"""blake2b Merkle-tree vector commitment.
 
-Parity with /root/reference/python/zksnake/commitment/vector/merkle.py, with
-one fix: the reference's `open` silently *skips* proof levels when the node
-has no sibling (odd tail), which desynchronizes `verify`'s index walk — an
-untested latent bug there. Here the duplicated node itself is emitted as the
-sibling, so commit/open/verify are consistent for any vector length
-(identical bytes for power-of-two vectors).
+Role parity with /root/reference/python/zksnake/commitment/vector/merkle.py
+(odd node paired with its own duplicate, so roots match the reference
+byte-for-byte on power-of-two vectors). One deliberate divergence, kept from
+round 1: the reference's `open` SKIPS a proof level whenever the node has no
+sibling, which desynchronizes the verifier's index walk on odd tails (a
+latent untested bug there); here the duplicated node itself is emitted as the
+sibling so any vector length round-trips.
 """
 
 import hashlib
+
 from .base import VectorCommitmentScheme
 
 
 class Merkle(VectorCommitmentScheme):
-
-    def __init__(self, alg="blake2b"):
+    def __init__(self, alg: str = "blake2b"):
         super().__init__()
         self.alg = alg
 
     def setup(self):
         pass
 
-    def _hash(self, data):
+    def _h(self, data: bytes) -> bytes:
         return hashlib.new(self.alg, data).digest()
 
-    def _build_tree(self, nodes):
-        tree = [nodes]
-        while len(nodes) > 1:
-            new_level = []
-            for i in range(0, len(nodes), 2):
-                left = nodes[i]
-                right = nodes[i + 1] if i + 1 < len(nodes) else left
-                new_level.append(self._hash(left + right))
-            nodes = new_level
-            tree.append(nodes)
-        return tree
+    def _levels(self, vector):
+        """All tree levels, leaves first, root-level last."""
+        level = [self._h(item) for item in vector]
+        out = [level]
+        while len(level) > 1:
+            # odd tail duplicates the last node
+            padded = level + level[-1:] if len(level) & 1 else level
+            level = [
+                self._h(padded[i] + padded[i + 1]) for i in range(0, len(padded), 2)
+            ]
+            out.append(level)
+        return out
 
-    def commit(self, vector):
-        leaves = [self._hash(data) for data in vector]
-        tree = self._build_tree(leaves)
+    def commit(self, vector) -> bytes:
+        return self._levels(vector)[-1][0]
 
-        return tree[-1][0]
+    def open(self, vector, index: int):
+        path = []
+        for level in self._levels(vector)[:-1]:
+            sibling = index ^ 1
+            path.append(level[sibling] if sibling < len(level) else level[index])
+            index >>= 1
+        return path
 
-    def open(self, vector, index):
-        leaves = [self._hash(data) for data in vector]
-        tree = self._build_tree(leaves)
-        proof = []
-        for level in tree[:-1]:
-            sibling_index = index ^ 1
-            if sibling_index < len(level):
-                proof.append(level[sibling_index])
-            else:
-                # odd tail: the node was paired with its own duplicate
-                proof.append(level[index])
-            index //= 2
-        return proof
-
-    def verify(self, commitment, proof, index, element):
-        current_hash = self._hash(element)
-        for sibling_hash in proof:
-            if index % 2 == 0:
-                current_hash = self._hash(current_hash + sibling_hash)
-            else:
-                current_hash = self._hash(sibling_hash + current_hash)
-            index //= 2
-        return current_hash == commitment
+    def verify(self, commitment, proof, index: int, element) -> bool:
+        node = self._h(element)
+        for sibling in proof:
+            pair = node + sibling if index & 1 == 0 else sibling + node
+            node = self._h(pair)
+            index >>= 1
+        return node == commitment

@@ -1,15 +1,18 @@
 """Bulletproofs inner-product argument.
 
-Parity with /root/reference/python/zksnake/subprotocol/bulletproofs/ipa.py.
+Role parity with /root/reference/python/zksnake/subprotocol/bulletproofs/ipa.py:
+identical transcript schedule and wire format (L/R pairs followed by two
+32-byte little-endian scalars). Original implementation; the verifier expands
+the s-vector from the binary decomposition of each index, and all MSMs ride
+the TPU dispatch in ecc.multiexp.
 """
 
-from ...utils import inner_product, next_power_of_two, split_list
+from ...ecc import EllipticCurve, curve_spec
 from ...transcript import FiatShamirTranscript, hash_to_curve
-from ...ecc import CurvePointSize, EllipticCurve
+from ...utils import inner_product, next_power_of_two, split_list
 
 
 class InnerProductProof:
-
     def __init__(self, a: int, b: int, L: list, R: list):
         self.a = a
         self.b = b
@@ -17,199 +20,161 @@ class InnerProductProof:
         self.R = R
 
     def to_bytes(self) -> bytes:
-        s = b""
-        for _, (L, R) in enumerate(zip(self.L, self.R)):
-            s += bytes(L.to_bytes())
-            s += bytes(R.to_bytes())
-
-        s += self.a.to_bytes(32, "little")
-        s += self.b.to_bytes(32, "little")
-
-        return bytes(s)
+        out = bytearray()
+        for L, R in zip(self.L, self.R):
+            out += bytes(L.to_bytes())
+            out += bytes(R.to_bytes())
+        out += self.a.to_bytes(32, "little")
+        out += self.b.to_bytes(32, "little")
+        return bytes(out)
 
     @classmethod
-    def from_bytes(cls, s: bytes, crv="BN254"):
+    def from_bytes(cls, raw: bytes, crv="BN254"):
         E = EllipticCurve(crv)
-        n = CurvePointSize[crv].value
+        point_len = curve_spec(crv).point_bytes
+        if (len(raw) - 64) % point_len != 0:
+            raise ValueError("Invalid proof length")
 
-        assert (len(s) - 64) % n == 0, "Invalid proof length"
+        a_raw, b_raw = split_list(raw[-64:], 32)
+        rounds = split_list(raw[:-64], point_len)
+        Ls = [E.from_hex(chunk.hex()) for chunk in rounds[0::2]]
+        Rs = [E.from_hex(chunk.hex()) for chunk in rounds[1::2]]
+        return cls(
+            int.from_bytes(a_raw, "little"), int.from_bytes(b_raw, "little"), Ls, Rs
+        )
 
-        Ls = []
-        Rs = []
 
-        field_s = split_list(s[-64:], 32)
-        s = split_list(s[:-64], n)
+def fold_round_challenges(transcript, L_list, R_list, order):
+    """Absorb each L/R pair, draw its challenge, and return
+    (squared challenges, squared inverses, product of plain inverses) —
+    the quantities every bulletproofs verifier needs."""
+    sq, inv_sq = [], []
+    all_inv = 1
+    for L, R in zip(L_list, R_list):
+        transcript.append(L)
+        transcript.append(R)
+        u = transcript.get_challenge_scalar()
+        sq.append(u * u % order)
+        inv = pow(u, -1, order)
+        inv_sq.append(inv * inv % order)
+        all_inv = all_inv * inv % order
+    return sq, inv_sq, all_inv
 
-        for i in range(0, len(s), 2):
-            Ls.append(E.from_hex(s[i].hex()))
-            Rs.append(E.from_hex(s[i + 1].hex()))
 
-        a = int.from_bytes(field_s[0], "little")
-        b = int.from_bytes(field_s[1], "little")
-
-        return InnerProductProof(a, b, Ls, Rs)
+def expand_s_vector(challenges_sq, all_inv, n, order):
+    """s[i] = prod_j u_j^(+/-1) with the sign given by bit j of i.
+    Built incrementally: s[i] extends s[i - 2^msb(i)] by one squared
+    challenge, so the whole vector costs n multiplications."""
+    s = [all_inv]
+    k = len(challenges_sq)
+    for i in range(1, n):
+        msb = i.bit_length() - 1
+        s.append(s[i - (1 << msb)] * challenges_sq[k - 1 - msb] % order)
+    return s
 
 
 class InnerProductArgument:
+    """Log-round argument that <a, b> equals a committed value."""
 
-    def __init__(
-        self,
-        size,
-        curve,
-        seed=b"InnerProductProof",
-        Q=None,
-    ):
+    def __init__(self, size, curve, seed=b"InnerProductProof", Q=None):
         self.n = next_power_of_two(size)
         self.E = EllipticCurve(curve)
         self.G = hash_to_curve(seed, b"G", curve, self.n)
         self.H = hash_to_curve(seed, b"H", curve, self.n)
         self.Q = Q
 
-    def __split_half(self, data: list):
-        if len(data) > 2:
-            mid_index = len(data) // 2
-            return data[:mid_index], data[mid_index:]
-        elif len(data) == 2:
-            return [data[0]], [data[1]]
-        else:
-            return [data[0]], []
+    def _fresh_transcript(self):
+        return FiatShamirTranscript(self.n.to_bytes(32, "big"), field=self.E.order)
 
-    def prove(self, a: list, b: list, transcript=None):
-        transcript = transcript or FiatShamirTranscript(
-            self.n.to_bytes(32, "big"), field=self.E.order
-        )
-
-        # pad a and b to the size
-        a = a + [0 for _ in range(self.n - len(a))]
-        b = b + [0 for _ in range(self.n - len(b))]
-
+    def _absorb_basis(self, transcript):
         for g in self.G:
             transcript.append(g)
         for h in self.H:
             transcript.append(h)
 
-        ab = inner_product(a, b, self.E.order)
+    def prove(self, a: list, b: list, transcript=None):
+        order = self.E.order
+        transcript = transcript or self._fresh_transcript()
+        a = list(a) + [0] * (self.n - len(a))
+        b = list(b) + [0] * (self.n - len(b))
 
+        self._absorb_basis(transcript)
+        ab = inner_product(a, b, order)
         commitment = self.E.multiexp(self.G + self.H, a + b)
+
         if self.Q:
             Q = self.Q
         else:
             transcript.append(commitment)
             Q = hash_to_curve(transcript.get_challenge(), b"Q", self.E.name)
 
-        L_list = []
-        R_list = []
-        u_list = []
+        G, H = list(self.G), list(self.H)
+        L_list, R_list = [], []
 
-        n = self.n
-        G = self.G
-        H = self.H
-
-        while n != 1:
-            n //= 2
-
-            a_low, a_hi = self.__split_half(a)
-            b_low, b_hi = self.__split_half(b)
-            G_low, G_hi = self.__split_half(G)
-            H_low, H_hi = self.__split_half(H)
+        while len(a) > 1:
+            half = len(a) // 2
+            a_lo, a_hi = a[:half], a[half:]
+            b_lo, b_hi = b[:half], b[half:]
+            G_lo, G_hi = G[:half], G[half:]
+            H_lo, H_hi = H[:half], H[half:]
 
             L = (
-                self.E.multiexp(G_hi, a_low)
-                + self.E.multiexp(H_low, b_hi)
-                + inner_product(a_low, b_hi, self.E.order) * Q
+                self.E.multiexp(G_hi, a_lo)
+                + self.E.multiexp(H_lo, b_hi)
+                + inner_product(a_lo, b_hi, order) * Q
             )
             R = (
-                self.E.multiexp(G_low, a_hi)
-                + self.E.multiexp(H_hi, b_low)
-                + inner_product(a_hi, b_low, self.E.order) * Q
+                self.E.multiexp(G_lo, a_hi)
+                + self.E.multiexp(H_hi, b_lo)
+                + inner_product(a_hi, b_lo, order) * Q
             )
-
             L_list.append(L)
             R_list.append(R)
-
             transcript.append(L)
             transcript.append(R)
 
             u = transcript.get_challenge_scalar()
-            u_inv = pow(u, -1, self.E.order)
-            u_list.append(u)
+            u_inv = pow(u, -1, order)
 
-            for i in range(n):
-                a_low[i] = (a_low[i] * u + a_hi[i] * u_inv) % self.E.order
-                b_low[i] = (b_low[i] * u_inv + b_hi[i] * u) % self.E.order
+            a = [(lo * u + hi * u_inv) % order for lo, hi in zip(a_lo, a_hi)]
+            b = [(lo * u_inv + hi * u) % order for lo, hi in zip(b_lo, b_hi)]
+            G = [
+                self.E.multiexp([lo, hi], [u_inv, u]) for lo, hi in zip(G_lo, G_hi)
+            ]
+            H = [
+                self.E.multiexp([lo, hi], [u, u_inv]) for lo, hi in zip(H_lo, H_hi)
+            ]
 
-                G_low[i] = self.E.multiexp([G_low[i], G_hi[i]], [u_inv, u])
-                H_low[i] = self.E.multiexp([H_low[i], H_hi[i]], [u, u_inv])
+        return InnerProductProof(a[0], b[0], L_list, R_list), commitment, ab
 
-            a = a_low
-            b = b_low
+    def verify(self, proof: InnerProductProof, commitment, inner_product_result,
+               transcript=None):
+        if len(proof.L) >= 32:
+            raise ValueError("Argument size is too big")
+        order = self.E.order
 
-            G = G_low
-            H = H_low
-
-        a = a[0]
-        b = b[0]
-
-        return InnerProductProof(a, b, L_list, R_list), commitment, ab
-
-    def verify(
-        self,
-        proof: InnerProductProof,
-        commitment,
-        inner_product_result,
-        transcript=None,
-    ):
-        assert len(proof.L) < 32, "Argument size is too big"
-
-        transcript = transcript or FiatShamirTranscript(
-            self.n.to_bytes(32, "big"), field=self.E.order
-        )
-
-        for g in self.G:
-            transcript.append(g)
-        for h in self.H:
-            transcript.append(h)
-
+        transcript = transcript or self._fresh_transcript()
+        self._absorb_basis(transcript)
         transcript.append(commitment)
         Q = hash_to_curve(transcript.get_challenge(), b"Q", self.E.name)
 
-        k = len(proof.L)
-        challenges = []
-        challenges_inv = []
+        sq, inv_sq, all_inv = fold_round_challenges(
+            transcript, proof.L, proof.R, order
+        )
+        s = expand_s_vector(sq, all_inv, self.n, order)
 
-        all_inv = 1
-        for i in range(k):
-            transcript.append(proof.L[i])
-            transcript.append(proof.R[i])
+        a_s = [proof.a * x % order for x in s]
+        b_s_inv = [proof.b * pow(x, -1, order) % order for x in s]
 
-            u = transcript.get_challenge_scalar()
-
-            challenges.append(pow(u, 2, self.E.order))
-            challenges_inv.append(pow(u, -2, self.E.order))
-            all_inv *= pow(u, -1, self.E.order)
-
-        s = [all_inv]
-        for i in range(1, self.n):
-            lg_i = 32 - 1 - (32 - i.bit_length())
-            l = 1 << lg_i
-
-            u_lg_i_sq = challenges[(k - 1) - lg_i]
-            s.append(s[i - l] * u_lg_i_sq)
-
-        a_s = [proof.a * x % self.E.order for x in s]
-        b_s_inv = [proof.b * pow(x, -1, self.E.order) % self.E.order for x in s]
-
-        sum_LR = self.E.curve.PointG1.identity()
-        for j in range(k):
-            sum_LR += proof.L[j] * challenges[j] + proof.R[j] * challenges_inv[j]
+        folded_LR = self.E.curve.PointG1.identity()
+        for L, R, u2, u2_inv in zip(proof.L, proof.R, sq, inv_sq):
+            folded_LR += L * u2 + R * u2_inv
 
         lhs = commitment + inner_product_result * Q
-
         rhs = (
             self.E.multiexp(self.G, a_s)
             + self.E.multiexp(self.H, b_s_inv)
             + proof.a * proof.b * Q
-            - sum_LR
+            - folded_LR
         )
-
         return lhs == rhs

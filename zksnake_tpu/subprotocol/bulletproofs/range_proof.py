@@ -1,29 +1,31 @@
-"""Bulletproofs range proof over Pedersen-committed values.
+"""Bulletproofs range proof: v in [0, 2^n) over a Pedersen commitment.
 
-Parity with /root/reference/python/zksnake/subprotocol/bulletproofs/range_proof.py.
+Role parity with
+/root/reference/python/zksnake/subprotocol/bulletproofs/range_proof.py:
+identical transcript schedule and wire format (5 compressed points, 3
+little-endian 32-byte scalars, then the IPA proof). Original implementation;
+l(x)/r(x) are evaluated directly from their degree-1 coefficient vectors
+instead of materializing n Polynomial objects, and the verifier's single
+aggregated MSM rides the TPU dispatch.
 """
 
-from ...utils import get_random_int, inner_product, split_list
-from ...polynomial import Polynomial
-from ...ecc import CurvePointSize, EllipticCurve
+from ...ecc import EllipticCurve, curve_spec
 from ...transcript import FiatShamirTranscript, hash_to_curve
-from . import ipa
+from ...utils import get_random_int, inner_product, split_list
+from .ipa import (
+    InnerProductArgument,
+    InnerProductProof,
+    expand_s_vector,
+    fold_round_challenges,
+)
+
+_POINT_FIELDS = ("V", "A", "S", "T1", "T2")
+_SCALAR_FIELDS = ("t", "t_blinding", "e_blinding")
 
 
 class RangeProofObject:
-
-    def __init__(
-        self,
-        V,
-        A,
-        S,
-        T1,
-        T2,
-        t,
-        t_blinding,
-        e_blinding,
-        ipa_proof: ipa.InnerProductProof,
-    ):
+    def __init__(self, V, A, S, T1, T2, t, t_blinding, e_blinding,
+                 ipa_proof: InnerProductProof):
         self.V = V
         self.A = A
         self.S = S
@@ -35,54 +37,38 @@ class RangeProofObject:
         self.ipa_proof = ipa_proof
 
     def to_bytes(self) -> bytes:
-        s = b""
-        s += bytes(self.V.to_bytes())
-        s += bytes(self.A.to_bytes())
-        s += bytes(self.S.to_bytes())
-        s += bytes(self.T1.to_bytes())
-        s += bytes(self.T2.to_bytes())
-        s += bytes(self.t.to_bytes(32, "little"))
-        s += bytes(self.t_blinding.to_bytes(32, "little"))
-        s += bytes(self.e_blinding.to_bytes(32, "little"))
-        s += self.ipa_proof.to_bytes()
-
-        return s
+        out = bytearray()
+        for name in _POINT_FIELDS:
+            out += bytes(getattr(self, name).to_bytes())
+        for name in _SCALAR_FIELDS:
+            out += getattr(self, name).to_bytes(32, "little")
+        out += self.ipa_proof.to_bytes()
+        return bytes(out)
 
     @classmethod
-    def from_bytes(cls, s: bytes, crv="BN254"):
+    def from_bytes(cls, raw: bytes, crv="BN254"):
         E = EllipticCurve(crv)
-        n = CurvePointSize[crv].value
+        point_len = curve_spec(crv).point_bytes
+        if (len(raw) - 160) % point_len != 0:
+            raise ValueError("Invalid proof length")
 
-        assert (len(s) - 160) % n == 0, "Invalid proof length"
+        head = 5 * point_len
+        points = split_list(raw[:head], point_len)
+        scalars = split_list(raw[head : head + 96], 32)
+        if len(points) != 5 or len(scalars) != 3:
+            raise ValueError("Malformed proof structure")
 
-        point_s = split_list(s[: 5 * n], n)
-        field_s = split_list(s[5 * n : 5 * n + 32 * 3], 32)
-        ipa_s = s[5 * n + 32 * 3 :]
-
-        assert len(point_s) == 5 and len(field_s) == 3, "Malformed proof structure"
-
-        V = E.from_hex(point_s[0].hex())
-        A = E.from_hex(point_s[1].hex())
-        S = E.from_hex(point_s[2].hex())
-        T1 = E.from_hex(point_s[3].hex())
-        T2 = E.from_hex(point_s[4].hex())
-        t = int.from_bytes(field_s[0], "little")
-        t_blinding = int.from_bytes(field_s[1], "little")
-        e_blinding = int.from_bytes(field_s[2], "little")
-        ipa_proof = ipa.InnerProductProof.from_bytes(ipa_s, crv)
-
-        return RangeProofObject(V, A, S, T1, T2, t, t_blinding, e_blinding, ipa_proof)
+        return cls(
+            *[E.from_hex(chunk.hex()) for chunk in points],
+            *[int.from_bytes(chunk, "little") for chunk in scalars],
+            InnerProductProof.from_bytes(raw[head + 96 :], crv),
+        )
 
 
 class RangeProof:
-
-    def __init__(
-        self,
-        bitsize: int,
-        curve,
-        seed=b"RangeProof",
-    ):
-        assert bitsize < 2**32
+    def __init__(self, bitsize: int, curve, seed=b"RangeProof"):
+        if bitsize >= 2**32:
+            raise ValueError("bitsize too large")
         self.n = bitsize
         self.E = EllipticCurve(curve)
         self.G = hash_to_curve(seed, b"G", curve, self.n)
@@ -90,40 +76,36 @@ class RangeProof:
         self.B = hash_to_curve(seed, b"B", curve, 1)
         self.B_blinding = hash_to_curve(seed, b"Blinding", curve, 1)
 
-    def __split_lr(self, data: list):
-        l = []
-        r = []
-        for v in data:
-            l += [v]
-            r += [(v - 1) % self.E.order]
+    def _fresh_transcript(self):
+        return FiatShamirTranscript(self.n.to_bytes(32, "big"), field=self.E.order)
 
-        return l, r
-
-    def __delta(self, y, z):
-        sum_pow_2_y = (
-            sum([pow(y, i, self.E.order) for i in range(self.n)]) % self.E.order
-        )
-        z_pow_3 = pow(z, 3, self.E.order)
-        sum_2 = sum([pow(2, i, self.E.order) for i in range(self.n)]) % self.E.order
-        return (
-            ((z - pow(z, 2, self.E.order)) * sum_pow_2_y) - (z_pow_3 * sum_2)
-        ) % self.E.order
+    def _delta(self, y, z):
+        """delta(y,z) = (z - z^2)<1, y^n> - z^3 <1, 2^n>."""
+        p = self.E.order
+        sum_y = 0
+        sum_2 = 0
+        y_pow = 1
+        two_pow = 1
+        for _ in range(self.n):
+            sum_y = (sum_y + y_pow) % p
+            sum_2 = (sum_2 + two_pow) % p
+            y_pow = y_pow * y % p
+            two_pow = two_pow * 2 % p
+        return ((z - z * z) * sum_y - pow(z, 3, p) * sum_2) % p
 
     def prove(self, v: int, transcript=None):
-        transcript = transcript or FiatShamirTranscript(
-            self.n.to_bytes(32, "big"), field=self.E.order
-        )
+        p = self.E.order
+        transcript = transcript or self._fresh_transcript()
 
-        # bit vectors of v
-        a = [(v >> i) & 1 for i in range(self.n)]
-        a_L, a_R = self.__split_lr(a)
+        # a_L = bits of v, a_R = a_L - 1 (so a_L o a_R = 0 iff bits are 0/1)
+        a_L = [(v >> i) & 1 for i in range(self.n)]
+        a_R = [(bit - 1) % p for bit in a_L]
 
-        s_L = [get_random_int(self.E.order) for _ in range(self.n)]
-        s_R = [get_random_int(self.E.order) for _ in range(self.n)]
-
-        a_blinding = get_random_int(self.E.order)
-        v_blinding = get_random_int(self.E.order)
-        s_blinding = get_random_int(self.E.order)
+        s_L = [get_random_int(p) for _ in range(self.n)]
+        s_R = [get_random_int(p) for _ in range(self.n)]
+        a_blinding = get_random_int(p)
+        v_blinding = get_random_int(p)
+        s_blinding = get_random_int(p)
 
         V = v * self.B + v_blinding * self.B_blinding
         A = (
@@ -136,184 +118,126 @@ class RangeProof:
             + self.E.multiexp(self.H, s_R)
             + s_blinding * self.B_blinding
         )
-
-        transcript.append(V)
-        transcript.append(A)
-        transcript.append(S)
+        for point in (V, A, S):
+            transcript.append(point)
 
         y = transcript.get_challenge_scalar()
         z = transcript.get_challenge_scalar()
 
-        l_0 = []
-        l_1 = []
-        r_0 = []
-        r_1 = []
-        exp_2 = 1
-        exp_y = 1
+        # Degree-1 vector polynomials l(X) = l0 + l1 X, r(X) = r0 + r1 X.
+        l_0, l_1, r_0, r_1 = [], [], [], []
+        y_pow = 1
+        two_pow = 1
         for i in range(self.n):
-            l_0.append((a_L[i] - z) % self.E.order)
+            l_0.append((a_L[i] - z) % p)
             l_1.append(s_L[i])
+            r_0.append((y_pow * (a_R[i] + z) + z * z * two_pow) % p)
+            r_1.append(y_pow * s_R[i] % p)
+            y_pow = y_pow * y % p
+            two_pow = two_pow * 2 % p
 
-            r_0.append((exp_y * (a_R[i] + z) + z * z * exp_2) % self.E.order)
-            r_1.append(exp_y * s_R[i] % self.E.order)
-
-            exp_y *= y
-            exp_2 += exp_2
-
-        l_vecpoly = []
-        r_vecpoly = []
-
-        p = self.E.order
-        for i in range(self.n):
-            l_vecpoly += [Polynomial([l_0[i], l_1[i]], p)]
-            r_vecpoly += [Polynomial([r_0[i], r_1[i]], p)]
-
-        t0 = inner_product(l_0, r_0, self.E.order)
-        t2 = inner_product(l_1, r_1, self.E.order)
-
-        l0_plus_l1 = [(a + b) % p for a, b in zip(l_0, l_1)]
-        r0_plus_r1 = [(a + b) % p for a, b in zip(r_0, r_1)]
-
-        t1 = (inner_product(l0_plus_l1, r0_plus_r1, self.E.order) - t0 - t2) % p
-
-        t_poly = Polynomial([t0, t1, t2], p)
+        # t(X) = <l(X), r(X)>: t1 via the Karatsuba-style cross term.
+        t0 = inner_product(l_0, r_0, p)
+        t2 = inner_product(l_1, r_1, p)
+        cross = inner_product(
+            [(a + b) % p for a, b in zip(l_0, l_1)],
+            [(a + b) % p for a, b in zip(r_0, r_1)],
+            p,
+        )
+        t1 = (cross - t0 - t2) % p
 
         t1_blinding = get_random_int(p)
         t2_blinding = get_random_int(p)
         T1 = t1 * self.B + t1_blinding * self.B_blinding
         T2 = t2 * self.B + t2_blinding * self.B_blinding
-
         transcript.append(T1)
         transcript.append(T2)
 
         x = transcript.get_challenge_scalar()
 
-        l_list = [poly(x) for poly in l_vecpoly]
-        r_list = [poly(x) for poly in r_vecpoly]
-        t = t_poly(x)
-
-        t_blinding_poly = Polynomial([z * z * v_blinding, t1_blinding, t2_blinding], p)
-        t_blinding = t_blinding_poly(x)
+        l_at_x = [(c0 + x * c1) % p for c0, c1 in zip(l_0, l_1)]
+        r_at_x = [(c0 + x * c1) % p for c0, c1 in zip(r_0, r_1)]
+        t = (t0 + x * (t1 + x * t2)) % p
+        t_blinding = (z * z * v_blinding + x * (t1_blinding + x * t2_blinding)) % p
         e_blinding = (a_blinding + x * s_blinding) % p
 
-        transcript.append(t)
-        transcript.append(t_blinding)
-        transcript.append(e_blinding)
-
+        for scalar in (t, t_blinding, e_blinding):
+            transcript.append(scalar)
         w = transcript.get_challenge_scalar()
 
-        Q = w * self.B
-
-        ipa_prover = ipa.InnerProductArgument(self.n, self.E.name)
-
+        # Hand off to the IPA over basis (G, y^-i * H) with Q = w*B.
+        ipa_prover = InnerProductArgument(self.n, self.E.name)
         ipa_prover.G = self.G
-        ipa_prover.H = [pow(y, -i, p) * self.H[i] for i in range(self.n)]
-        ipa_prover.Q = Q
-
-        ipa_proof, _, _ = ipa_prover.prove(l_list, r_list, transcript)
+        ipa_prover.H = [pow(y, -i, p) * h for i, h in enumerate(self.H)]
+        ipa_prover.Q = w * self.B
+        ipa_proof, _, _ = ipa_prover.prove(l_at_x, r_at_x, transcript)
 
         return RangeProofObject(V, A, S, T1, T2, t, t_blinding, e_blinding, ipa_proof)
 
     def verify(self, proof: RangeProofObject, transcript=None):
-        transcript = transcript or FiatShamirTranscript(
-            self.n.to_bytes(32, "big"), field=self.E.order
-        )
-
+        p = self.E.order
+        transcript = transcript or self._fresh_transcript()
         transcript.reset()
-        transcript.append(proof.V)
-        transcript.append(proof.A)
-        transcript.append(proof.S)
 
+        for point in (proof.V, proof.A, proof.S):
+            transcript.append(point)
         y = transcript.get_challenge_scalar()
         z = transcript.get_challenge_scalar()
 
         transcript.append(proof.T1)
         transcript.append(proof.T2)
-
         x = transcript.get_challenge_scalar()
 
-        transcript.append(proof.t)
-        transcript.append(proof.t_blinding)
-        transcript.append(proof.e_blinding)
-
+        for scalar in (proof.t, proof.t_blinding, proof.e_blinding):
+            transcript.append(scalar)
         w = transcript.get_challenge_scalar()
 
+        # Replay the IPA's basis absorption (it sees H' = y^-i * H).
         for g in self.G:
             transcript.append(g)
         for i, h in enumerate(self.H):
-            hprime = pow(y, -i, self.E.order) * h
-            transcript.append(hprime)
+            transcript.append(pow(y, -i, p) * h)
 
-        c = get_random_int(self.E.order)
+        # Random batching scalar folds the t-check into the IPA check.
+        c = get_random_int(p)
 
-        k = len(proof.ipa_proof.L)
-        challenges = []
-        challenges_inv = []
+        sq, inv_sq, all_inv = fold_round_challenges(
+            transcript, proof.ipa_proof.L, proof.ipa_proof.R, p
+        )
+        s = expand_s_vector(sq, all_inv, self.n, p)
 
-        all_inv = 1
-        for i in range(k):
-            transcript.append(proof.ipa_proof.L[i])
-            transcript.append(proof.ipa_proof.R[i])
+        a, b = proof.ipa_proof.a, proof.ipa_proof.b
+        g_scalars = [(-z - a * si) % p for si in s]
+        h_scalars = []
+        y_inv_pow = 1
+        two_pow = 1
+        y_inv = pow(y, -1, p)
+        for si in s:
+            rhs = z * z * two_pow - b * pow(si, -1, p)
+            h_scalars.append((z + y_inv_pow * rhs) % p)
+            y_inv_pow = y_inv_pow * y_inv % p
+            two_pow = two_pow * 2 % p
 
-            u = transcript.get_challenge_scalar()
-
-            challenges.append(pow(u, 2, self.E.order))
-            challenges_inv.append(pow(u, -2, self.E.order))
-            all_inv *= pow(u, -1, self.E.order)
-
-        s = [all_inv]
-        for i in range(1, self.n):
-            lg_i = 32 - 1 - (32 - i.bit_length())
-            l = 1 << lg_i
-
-            u_lg_i_sq = challenges[(k - 1) - lg_i]
-            s.append(s[i - l] * u_lg_i_sq)
-
-        a = proof.ipa_proof.a
-        b = proof.ipa_proof.b
-
-        scalar_mul_g = [(-z - a * s[i]) % self.E.order for i in range(self.n)]
-        scalar_mul_h = []
-
-        for i in range(self.n):
-            s_inv = pow(s[i], -1, self.E.order)
-            rhs = z * z * pow(2, i, self.E.order) - b * s_inv
-
-            scalar_mul_h += [(z + pow(y, -i, self.E.order) * rhs) % self.E.order]
-
-        points = (
-            [
-                proof.A,
-                proof.S,
-                proof.V,
-                proof.T1,
-                proof.T2,
-                self.B,
-                self.B_blinding,
-            ]
+        basis = (
+            [proof.A, proof.S, proof.V, proof.T1, proof.T2, self.B, self.B_blinding]
             + self.G
             + self.H
             + proof.ipa_proof.L
             + proof.ipa_proof.R
         )
-
         scalars = (
             [
                 1,
                 x,
-                c * z * z % self.E.order,
-                c * x % self.E.order,
-                c * x * x % self.E.order,
-                (w * (proof.t - a * b) + c * (self.__delta(y, z) - proof.t))
-                % self.E.order,
-                (-proof.e_blinding - c * proof.t_blinding) % self.E.order,
+                c * z * z % p,
+                c * x % p,
+                c * x * x % p,
+                (w * (proof.t - a * b) + c * (self._delta(y, z) - proof.t)) % p,
+                (-proof.e_blinding - c * proof.t_blinding) % p,
             ]
-            + scalar_mul_g
-            + scalar_mul_h
-            + challenges
-            + challenges_inv
+            + g_scalars
+            + h_scalars
+            + sq
+            + inv_sq
         )
-
-        final_check = self.E.multiexp(points, scalars)
-
-        return final_check.is_zero()
+        return self.E.multiexp(basis, scalars).is_zero()

@@ -1,25 +1,23 @@
-"""GKR protocol for layered circuits (Thaler, "Proofs, Arguments, and
-Zero-Knowledge", section 4.6).
+"""GKR protocol for layered arithmetic circuits (Thaler PAZK section 4.6).
 
-Parity with /root/reference/python/zksnake/subprotocol/gkr.py, including the
-reversed index packing of the wiring selectors so partial evaluation works
-in place (gkr.py:155-163) and restrict-to-line consistency checks.
+Behavioral parity with /root/reference/python/zksnake/subprotocol/gkr.py:
+identical transcript schedule, the reversed index packing of the wiring
+selectors (so sumcheck's variable-by-variable fixing works in place, ref
+gkr.py:155-163), and the restrict-to-line reduction from two claims to one.
+Original implementation: ADD/MUL wiring extraction shares one walker, and
+restrict-to-line folds the evaluation table iteratively (pairing adjacent
+entries per variable) instead of recursing.
 """
 
-from .sumcheck import Sumcheck, SumcheckPolynomial
 from ..arithmetization import LayeredCircuit
 from ..constant import BN254_SCALAR_FIELD
-from ..polynomial import (
-    MultilinearPolynomial,
-    Polynomial,
-    get_all_evaluation_points,
-    ifft,
-)
+from ..polynomial import MultilinearPolynomial, Polynomial
 from ..transcript import FiatShamirTranscript
+from .sumcheck import Sumcheck, SumcheckPolynomial, univariate_round_poly
 
 
 class GkrPolynomial(SumcheckPolynomial):
-    """f(a,b,c) = add(a,b,c) * (W(b) + W(c)) + mul(a,b,c) * (W(b) * W(c))"""
+    """f(a,b,c) = add~(a,b,c) * (W(b) + W(c)) + mul~(a,b,c) * W(b) * W(c)."""
 
     def __init__(self, n, p, add_i, mul_i, w_b, w_c):
         super().__init__(n, p)
@@ -29,298 +27,233 @@ class GkrPolynomial(SumcheckPolynomial):
         self.w_c = w_c
 
     def to_evaluations(self):
-        evals = []
+        add_tbl = self.add_i.to_evaluations()
+        mul_tbl = self.mul_i.to_evaluations()
+        w_b_tbl = self.w_b.to_evaluations()
+        w_c_tbl = self.w_c.to_evaluations()
+        shift = self.w_b.num_vars
 
-        add_i = self.add_i.to_evaluations()
-        mul_i = self.mul_i.to_evaluations()
-        w_b = self.w_b.to_evaluations()
-        w_c = self.w_c.to_evaluations()
-
-        idx = 0
-        for b, value_b in enumerate(w_b):
-            for c, value_c in enumerate(w_c):
-                idx = (c << self.w_b.num_vars) | b
-                if add_i[idx] or mul_i[idx]:
-                    result = (
-                        add_i[idx] * (value_b + value_c)
-                        + mul_i[idx] * (value_b * value_c)
-                    ) % self.p
-                    evals.append(result)
-
-        return evals
+        out = []
+        for c_idx, w_c in enumerate(w_c_tbl):
+            base = c_idx << shift
+            for b_idx, w_b in enumerate(w_b_tbl):
+                sel = base | b_idx
+                if add_tbl[sel] or mul_tbl[sel]:
+                    out.append(
+                        (add_tbl[sel] * (w_b + w_c) + mul_tbl[sel] * w_b * w_c)
+                        % self.p
+                    )
+        return out
 
     def partial_evaluate(self, points):
-        b = points[: min(self.w_b.num_vars, len(points))]
-        c = points[self.w_b.num_vars :]
-        add_i = self.add_i.partial_evaluate(points)
-        mul_i = self.mul_i.partial_evaluate(points)
-        w_b = self.w_b.partial_evaluate(b)
-        w_c = self.w_c.partial_evaluate(c)
-
-        return GkrPolynomial(self.n, self.p, add_i, mul_i, w_b, w_c)
+        split = self.w_b.num_vars
+        return GkrPolynomial(
+            self.n,
+            self.p,
+            self.add_i.partial_evaluate(points),
+            self.mul_i.partial_evaluate(points),
+            self.w_b.partial_evaluate(points[:split]),
+            self.w_c.partial_evaluate(points[split:]),
+        )
 
     def evaluate(self, points):
         assert len(points) == self.n
-        evaluated = self.partial_evaluate(points)
-
-        add_i = evaluated.add_i.to_evaluations()[0]
-        mul_i = evaluated.mul_i.to_evaluations()[0]
-        w_b = evaluated.w_b.to_evaluations()[0]
-        w_c = evaluated.w_c.to_evaluations()[0]
-
-        return (add_i * (w_b + w_c) + mul_i * (w_b * w_c)) % self.p
-
-    def to_univariate(self):
-        evals = []
-        roots = get_all_evaluation_points(3, self.p)
-        for i in roots:
-            s = sum(self.partial_evaluate([i]).to_evaluations()) % self.p
-            evals.append(s)
-
-        coeffs = ifft(evals, self.p)
-
-        return Polynomial(coeffs, self.p)
+        fixed = self.partial_evaluate(points)
+        add_v = fixed.add_i.to_evaluations()[0]
+        mul_v = fixed.mul_i.to_evaluations()[0]
+        w_b = fixed.w_b.to_evaluations()[0]
+        w_c = fixed.w_c.to_evaluations()[0]
+        return (add_v * (w_b + w_c) + mul_v * w_b * w_c) % self.p
 
     def first_round(self):
-        return self.to_univariate()
+        return univariate_round_poly(self, self.p)
 
     def round_function(self, r):
-        fixed = self.partial_evaluate(r)
-        return fixed.to_univariate()
+        return univariate_round_poly(self.partial_evaluate(r), self.p)
 
 
 class GKR:
-    """GKR protocol: prove the evaluation of a low-depth layered circuit."""
+    """Prove/verify the evaluation of a low-depth layered circuit."""
 
     def __init__(self, circuit: LayeredCircuit, field=BN254_SCALAR_FIELD):
         self.circuit = circuit
         self.order = field
         self.depth = len(circuit.layers)
+        # output layer first, inputs last
         self.wire_labels = self.circuit.get_wire_label()[::-1]
 
-    def _add_i(self, i):
-        target_layer = self.circuit.layers[::-1][i]
-        next_layer_wire = self.wire_labels[i + 1]
+    def _gate_triples(self, layer_idx, kind):
+        """(gate index, left input index, right input index) for every gate
+        of `kind` ("ADD"/"MUL") in layer `layer_idx` (output-first order)."""
+        layer = self.circuit.layers[::-1][layer_idx]
+        below = self.wire_labels[layer_idx + 1]
+        return [
+            (pos, below.index(lhs), below.index(rhs))
+            for pos, (gate_kind, lhs, rhs, _) in enumerate(layer)
+            if gate_kind == kind
+        ]
 
-        non_zero_evals = []
-        for index, gate in enumerate(target_layer):
-            gate_type, in1, in2, _ = gate
+    def _selector_polynomial(self, layer_idx, r):
+        """Wiring MLEs add~ / mul~ with variables packed (c, b, a) — reversed
+        so partial evaluation fixes `a` (the already-challenged layer index)
+        first, in place."""
+        bits_a = len(self.wire_labels[layer_idx])
+        bits_bc = len(self.wire_labels[layer_idx + 1])
+        total_vars = bits_a + 2 * bits_bc
 
-            if gate_type == "ADD":
-                a = index
-                b = next_layer_wire.index(in1)
-                c = next_layer_wire.index(in2)
+        def packed(kind):
+            return [
+                ((c << (bits_bc + bits_a)) + (b << bits_a) + a, 1)
+                for a, b, c in self._gate_triples(layer_idx, kind)
+            ]
 
-                non_zero_evals.append((a, b, c))
+        add_ext = MultilinearPolynomial(total_vars, packed("ADD"), self.order)
+        mul_ext = MultilinearPolynomial(total_vars, packed("MUL"), self.order)
+        return add_ext.partial_evaluate(r), mul_ext.partial_evaluate(r)
 
-        return non_zero_evals
-
-    def _mul_i(self, i):
-        target_layer = self.circuit.layers[::-1][i]
-        next_layer_wire = self.wire_labels[i + 1]
-
-        non_zero_evals = []
-        for index, gate in enumerate(target_layer):
-            gate_type, in1, in2, _ = gate
-
-            if gate_type == "MUL":
-                a = index
-                b = next_layer_wire.index(in1)
-                c = next_layer_wire.index(in2)
-
-                non_zero_evals.append((a, b, c))
-
-        return non_zero_evals
-
-    def _selector_polynomial(self, i, r):
-        num_vars_i = len(self.wire_labels[i])
-        num_vars_next_i = len(self.wire_labels[i + 1])
-        selector_num_vars = num_vars_i + num_vars_next_i * 2
-
-        add_i_evals = []
-        mul_i_evals = []
-
-        # index order of add_i(a, b, c) and mul_i(a, b, c) is reversed
-        # so it can be partially evaluated directly without permutating
-        for a, b, c in self._add_i(i):
-            index = c * (2**num_vars_next_i * 2**num_vars_i) + b * 2**num_vars_i + a
-            add_i_evals.append((index, 1))
-
-        for a, b, c in self._mul_i(i):
-            index = c * (2**num_vars_next_i * 2**num_vars_i) + b * 2**num_vars_i + a
-            mul_i_evals.append((index, 1))
-
-        add_ext_i = MultilinearPolynomial(selector_num_vars, add_i_evals, self.order)
-        add_ext_i = add_ext_i.partial_evaluate(r)
-
-        mul_ext_i = MultilinearPolynomial(selector_num_vars, mul_i_evals, self.order)
-        mul_ext_i = mul_ext_i.partial_evaluate(r)
-
-        return add_ext_i, mul_ext_i
-
-    def _sumcheck_polynomial(self, evaluation_layers, i, r):
-        w_evals = []
-        num_vars_next_i = len(self.wire_labels[i + 1])
-
-        for index, k in enumerate(self.wire_labels[i + 1]):
-            w_evals.append((index, evaluation_layers[i + 1][k]))
-
-        add_ext_i, mul_ext_i = self._selector_polynomial(i, r)
-        w_i = MultilinearPolynomial(num_vars_next_i, w_evals, self.order)
-
+    def _layer_polynomial(self, evaluation_layers, layer_idx, r):
+        """The layer's sumcheck polynomial f(b, c) with a already fixed to r."""
+        below = self.wire_labels[layer_idx + 1]
+        w_evals = [
+            (pos, evaluation_layers[layer_idx + 1][label])
+            for pos, label in enumerate(below)
+        ]
+        add_ext, mul_ext = self._selector_polynomial(layer_idx, r)
+        w_next = MultilinearPolynomial(len(below), w_evals, self.order)
         return GkrPolynomial(
-            add_ext_i.num_vars, self.order, add_ext_i, mul_ext_i, w_i, w_i
+            add_ext.num_vars, self.order, add_ext, mul_ext, w_next, w_next
         )
 
     def _init_transcript(self, input_map, outputs, transcript=None):
         transcript = transcript or FiatShamirTranscript(b"gkr", field=self.order)
-        for _, v in input_map.items():
-            transcript.append(v)
-        for _, output in outputs:
-            transcript.append(output)
-
+        for value in input_map.values():
+            transcript.append(value)
+        for _, value in outputs:
+            transcript.append(value)
         return transcript
 
     def _restrict_to_line(self, w, b, c):
+        """Univariate q(t) = W(l(t)) for the line l(t) = b + (c - b) t.
+
+        Iterative fold: start from the full evaluation table (constant
+        polynomials) and, per variable from last to first, combine adjacent
+        pairs as lo + (hi - lo) * (b_i + k_i t)."""
         n = w.num_vars
         assert len(b) == n and len(c) == n
+        k = [(cv - bv) % self.order for bv, cv in zip(b, c)]
 
-        k = [(val_c - val_b) % self.order for val_b, val_c in zip(b, c)]
-        w_evals = w.to_evaluations()
+        polys = [Polynomial([e], self.order) for e in w.to_evaluations()]
+        for idx in range(n - 1, -1, -1):
+            line_i = Polynomial([b[idx], k[idx]], self.order)
+            polys = [
+                lo + (hi - lo) * line_i
+                for lo, hi in zip(polys[0::2], polys[1::2])
+            ]
+        return polys[0]
 
-        def recursive_restrict(evals, b, k, idx):
-            if idx == len(b):
-                return Polynomial([evals[0]], self.order)
+    def _reduce_two_claims(self, f, challenges, transcript, proof):
+        """Restrict W to the line through (b, c), emit q and its endpoints,
+        then collapse to a single claim at a fresh challenge."""
+        half = f.n // 2
+        b, c = challenges[:half], challenges[half:]
+        line = [
+            Polynomial([bv, (cv - bv) % self.order], self.order)
+            for bv, cv in zip(b, c)
+        ]
+        q = self._restrict_to_line(f.w_b, b[::-1], c[::-1])
+        z1, z2 = q(0), q(1)
 
-            mid = len(evals) // 2
-            poly_low = recursive_restrict(evals[:mid], b, k, idx + 1)
-            poly_hi = recursive_restrict(evals[mid:], b, k, idx + 1)
+        for uni in proof:
+            transcript.append(uni.coeffs())
+        transcript.append(q.coeffs())
+        transcript.append([z1, z2])
 
-            t = Polynomial([b[idx], k[idx]], self.order)
-            return poly_low + (poly_hi - poly_low) * t
-
-        return recursive_restrict(w_evals, b, k, 0)
+        t = transcript.get_challenge_scalar()
+        return q, z1, z2, q(t), [p(t) for p in line]
 
     def prove(self, input_map: dict, transcript=None):
-        """Evaluate and prove layered circuit using GKR protocol."""
-        sumcheck_proofs = []
+        """Evaluate the circuit and prove each layer via sumcheck."""
         evaluation_layers = self.circuit.evaluate(input_map, self.order)[::-1]
+        outputs = list(enumerate(evaluation_layers[0].values()))
+        n_out = len(outputs)
+        w_0 = MultilinearPolynomial(max(1, n_out), outputs, self.order)
 
-        # P sends the output vector and claims that w = W_0
-        outputs = []
-        for i, (_, v) in enumerate(evaluation_layers[0].items()):
-            outputs.append((i, v))
-        n = len(outputs)
-        w_0 = MultilinearPolynomial(max(1, n), outputs, self.order)
-
-        # V sends random r0 and computes m0 = w(r0)
         transcript = self._init_transcript(input_map, outputs, transcript)
-        r = [transcript.get_challenge_scalar() for _ in range(n)]
+        r = [transcript.get_challenge_scalar() for _ in range(n_out)]
         m = w_0.evaluate(r)
 
-        for i in range(self.depth):
-            f = self._sumcheck_polynomial(evaluation_layers, i, r)
-            n_next = f.n // 2
+        sumcheck_proofs = []
+        for layer_idx in range(self.depth):
+            f = self._layer_polynomial(evaluation_layers, layer_idx, r)
+            claim, proof, challenges = Sumcheck(f.n, self.order).prove_arbitrary(
+                f, transcript
+            )
+            assert claim == m, "Wiring pattern of the circuit might be incorrect"
 
-            sumcheck = Sumcheck(f.n, self.order)
-            sum_claim, proof, challenges = sumcheck.prove_arbitrary(f, transcript)
-            assert sum_claim == m, "Wiring pattern of the circuit might be incorrect"
+            q, z1, z2, next_m, next_r = self._reduce_two_claims(
+                f, challenges, transcript, proof
+            )
 
-            b = challenges[:n_next]
-            c = challenges[n_next:]
-
-            l = [
-                Polynomial([b_val, (c_val - b_val) % self.order], self.order)
-                for b_val, c_val in zip(b, c)
-            ]
-            q = self._restrict_to_line(f.w_b, b[::-1], c[::-1])
-            z1 = q(0)
-            z2 = q(1)
-
-            w_eval = (
+            # internal consistency: the final round ties to W(b), W(c)
+            w_pair = (
                 f.add_i.evaluate(challenges) * (z1 + z2)
                 + f.mul_i.evaluate(challenges) * (z1 * z2)
             ) % self.order
-
-            assert w_eval == proof[-1](challenges[-1])
-
-            _ = [transcript.append(p.coeffs()) for p in proof]
-            transcript.append(q.coeffs())
-            transcript.append([z1, z2])
+            assert w_pair == proof[-1](challenges[-1])
+            assert f.w_b.evaluate(next_r) == next_m
 
             proof.append((q, z1, z2))
             sumcheck_proofs.append(proof)
-
-            r = transcript.get_challenge_scalar()
-            l_r = [p(r) for p in l]
-            assert f.w_b.evaluate(l_r) == q(r)
-
-            m = q(r)
-            r = l_r
+            m, r = next_m, next_r
 
         return evaluation_layers[0], sumcheck_proofs
 
-    def verify(
-        self, input_map: dict, output_map: dict, proofs: list, transcript=None
-    ) -> bool:
-        """Verify GKR proof of layered-circuit evaluation."""
-        outputs = []
-        for i, v in enumerate(output_map.values()):
-            outputs.append((i, v))
-        n = len(outputs)
-        w = MultilinearPolynomial(max(1, n), outputs, self.order)
+    def verify(self, input_map: dict, output_map: dict, proofs: list,
+               transcript=None) -> bool:
+        outputs = list(enumerate(output_map.values()))
+        n_out = len(outputs)
+        w_0 = MultilinearPolynomial(max(1, n_out), outputs, self.order)
 
         transcript = self._init_transcript(input_map, outputs, transcript)
-        r = [transcript.get_challenge_scalar() for _ in range(n)]
-        m = w.evaluate(r)
+        r = [transcript.get_challenge_scalar() for _ in range(n_out)]
+        m = w_0.evaluate(r)
 
-        for i in range(self.depth):
-            add_ext_i, mul_ext_i = self._selector_polynomial(i, r)
-            n_next = add_ext_i.num_vars // 2
+        for layer_idx in range(self.depth):
+            add_ext, mul_ext = self._selector_polynomial(layer_idx, r)
+            half = add_ext.num_vars // 2
 
-            sumcheck = Sumcheck(add_ext_i.num_vars, self.order)
-
-            round_proof = proofs[i]
-            challenges = sumcheck.verify(m, round_proof[:-1], 2, transcript)
-
+            round_proof = proofs[layer_idx]
+            challenges = Sumcheck(add_ext.num_vars, self.order).verify(
+                m, round_proof[:-1], 2, transcript
+            )
             if not challenges:
                 return False
 
-            b = challenges[:n_next]
-            c = challenges[n_next:]
-
-            l = [
-                Polynomial([b_val, (c_val - b_val) % self.order], self.order)
-                for b_val, c_val in zip(b, c)
+            b, c = challenges[:half], challenges[half:]
+            line = [
+                Polynomial([bv, (cv - bv) % self.order], self.order)
+                for bv, cv in zip(b, c)
             ]
             q, z1, z2 = round_proof[-1]
             if q(0) != z1 or q(1) != z2:
                 return False
 
-            last_proof = round_proof[-2]
-            w_eval = (
-                add_ext_i.evaluate(challenges) * (z1 + z2)
-                + mul_ext_i.evaluate(challenges) * (z1 * z2)
+            w_pair = (
+                add_ext.evaluate(challenges) * (z1 + z2)
+                + mul_ext.evaluate(challenges) * (z1 * z2)
             ) % self.order
-            if w_eval != last_proof(challenges[-1]):
+            if w_pair != round_proof[-2](challenges[-1]):
                 return False
 
-            _ = [transcript.append(p.coeffs()) for p in round_proof[:-1]]
+            for uni in round_proof[:-1]:
+                transcript.append(uni.coeffs())
             transcript.append(q.coeffs())
             transcript.append([z1, z2])
 
-            r = transcript.get_challenge_scalar()
-            l_r = [p(r) for p in l]
+            t = transcript.get_challenge_scalar()
+            m = q(t)
+            r = [p(t) for p in line]
 
-            m = q(r)
-            r = l_r
-
-        inputs = []
-        for i, v in enumerate(input_map.values()):
-            inputs.append((i, v))
-
-        w_d = MultilinearPolynomial(len(inputs), inputs, self.order)
-        if w_d.evaluate(r) != m:
-            return False
-
-        return True
+        inputs = list(enumerate(input_map.values()))
+        w_in = MultilinearPolynomial(len(inputs), inputs, self.order)
+        return w_in.evaluate(r) == m

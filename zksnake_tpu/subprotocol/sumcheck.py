@@ -1,160 +1,129 @@
-"""Sumcheck protocol.
+"""Sumcheck protocol over multilinear polynomials.
 
-Parity with /root/reference/python/zksnake/subprotocol/sumcheck.py, including
-the 4-point evaluation domain used by `_to_univariate` (domain size
-next_pow2(3) = 4, sumcheck.py:49-58).
+Behavioral parity with /root/reference/python/zksnake/subprotocol/sumcheck.py:
+identical transcript schedule (claim, then each round's coefficient list) and
+the same 4-point NTT domain for interpolating round polynomials. Original
+implementation: the simple-MLE and structured-polynomial provers share one
+round driver, and the round-polynomial interpolation helper is reused by GKR.
 """
 
 from typing import List
 
+from ..polynomial import Polynomial, get_all_evaluation_points, ifft
 from ..transcript import FiatShamirTranscript
-from ..polynomial import (
-    Polynomial,
-    get_all_evaluation_points,
-    ifft,
-)
 
 
 class SumcheckPolynomial:
+    """Hook for structured polynomials (e.g. GKR's wiring polynomial) that
+    can produce their own per-round univariate restrictions."""
+
     def __init__(self, n, p):
         self.n = n
         self.p = p
 
     def to_evaluations(self) -> List[int]:
-        """Get all evaluations over boolean hypercube"""
+        """All evaluations over the boolean hypercube."""
         raise NotImplementedError
 
     def evaluate(self, points):
-        """Evaluate polynomial at given `points`"""
         raise NotImplementedError
 
     def first_round(self):
-        """First round function returning univariate polynomial"""
+        """Univariate restriction in the first variable."""
         raise NotImplementedError
 
     def round_function(self, r):
-        """Round function (fix one variable with challenge r), returning
-        univariate polynomial"""
+        """Univariate restriction after fixing the challenge prefix `r`."""
         raise NotImplementedError
 
 
+def univariate_round_poly(poly, order):
+    """Interpolate g(X) = sum over the remaining boolean cube of poly(X, .)
+    from evaluations at the 4-point NTT domain (degree bound 3)."""
+    domain = get_all_evaluation_points(3, order)
+    sums = [
+        sum(poly.partial_evaluate([x]).to_evaluations()) % order for x in domain
+    ]
+    return Polynomial(ifft(sums, order), order)
+
+
 class Sumcheck:
-    """Sumcheck protocol for sums of multilinear polynomial evaluations
-    over the boolean hypercube."""
+    """Interactive sumcheck driver (Fiat-Shamir via the shared transcript)."""
 
     def __init__(self, n, order):
         self.n = n
         self.order = order
 
-    def _to_univariate(self, mlpoly):
-        evals = []
-        roots = get_all_evaluation_points(3, self.order)
-        for i in roots:
-            s = sum(mlpoly.partial_evaluate([i]).to_evaluations()) % self.order
-            evals.append(s)
+    def _fresh_transcript(self):
+        return FiatShamirTranscript(b"sumcheck", field=self.order)
 
-        coeffs = ifft(evals, self.order)
-
-        return Polynomial(coeffs, self.order)
+    def _drive_rounds(self, sum_claim, first_fn, next_fn, transcript):
+        """Shared prover loop: one univariate per variable, each absorbed
+        into the transcript; challenges are drawn lazily before rounds 2..n
+        and once more at the end for the final evaluation point."""
+        transcript.append(sum_claim)
+        round_polys = []
+        challenges = []
+        for rnd in range(self.n):
+            if rnd == 0:
+                uni = first_fn()
+            else:
+                challenges.append(transcript.get_challenge_scalar())
+                uni = next_fn(challenges)
+                consistent = (uni(0) + uni(1)) % self.order
+                assert round_polys[-1](challenges[-1]) == consistent
+            transcript.append(uni.coeffs())
+            round_polys.append(uni)
+        challenges.append(transcript.get_challenge_scalar())
+        return round_polys, challenges
 
     def prove(self, mlpoly, transcript=None):
-        """Prove sumcheck from a simple multilinear polynomial `mlpoly`."""
+        """Sumcheck for a plain multilinear polynomial."""
         assert mlpoly.num_vars == self.n
-
-        sum_claim = sum(mlpoly.to_evaluations()) % self.order
-        proof = []
-        r_evals = []
-
-        transcript = transcript or FiatShamirTranscript(b"sumcheck", field=self.order)
-        transcript.append(sum_claim)
-
-        for n_round in range(1, self.n + 1):
-
-            if n_round == 1:
-                uni_poly = self._to_univariate(mlpoly)
-            else:
-                r = transcript.get_challenge_scalar()
-                r_evals += [r]
-
-                poly = mlpoly.partial_evaluate(r_evals)
-                uni_poly = self._to_univariate(poly)
-
-                assert proof[-1](r) == (uni_poly(0) + uni_poly(1)) % self.order
-
-            coeffs = uni_poly.coeffs()
-            transcript.append(coeffs)
-            proof.append(uni_poly)
-
-        r = transcript.get_challenge_scalar()
-        r_evals += [r]
-
-        return sum_claim, proof, r_evals
+        claim = sum(mlpoly.to_evaluations()) % self.order
+        proof, challenges = self._drive_rounds(
+            claim,
+            lambda: univariate_round_poly(mlpoly, self.order),
+            lambda rs: univariate_round_poly(
+                mlpoly.partial_evaluate(rs), self.order
+            ),
+            transcript or self._fresh_transcript(),
+        )
+        return claim, proof, challenges
 
     def prove_arbitrary(self, poly: SumcheckPolynomial, transcript=None):
-        """Prove sumcheck from a structured `SumcheckPolynomial`."""
+        """Sumcheck for a structured polynomial with its own round hooks."""
         assert poly.n == self.n
-
-        sum_claim = sum(poly.to_evaluations()) % self.order
-        proof = []
-        r_evals = []
-
-        transcript = transcript or FiatShamirTranscript(b"sumcheck", field=self.order)
-        transcript.append(sum_claim)
-
-        for n_round in range(1, self.n + 1):
-            if n_round == 1:
-                uni_poly = poly.first_round()
-            else:
-                r = transcript.get_challenge_scalar()
-                r_evals += [r]
-                uni_poly = poly.round_function(r_evals)
-
-                assert proof[-1](r) == (uni_poly(0) + uni_poly(1)) % self.order
-
-            transcript.append(uni_poly.coeffs())
-            proof.append(uni_poly)
-
-        r = transcript.get_challenge_scalar()
-        r_evals += [r]
-
-        return sum_claim, proof, r_evals
+        claim = sum(poly.to_evaluations()) % self.order
+        proof, challenges = self._drive_rounds(
+            claim,
+            poly.first_round,
+            poly.round_function,
+            transcript or self._fresh_transcript(),
+        )
+        return claim, proof, challenges
 
     def verify(self, sum_claim, proof, degree_bound, transcript=None, mlpoly=None):
-        """Verify sumcheck; returns challenge list if valid, False otherwise."""
+        """Returns the challenge list when the proof is consistent, else
+        False. With `mlpoly` given, also checks the final evaluation."""
         assert len(proof) == self.n
 
-        r_evals = []
-        prev_eval = sum_claim
-
-        transcript = transcript or FiatShamirTranscript(b"sumcheck", field=self.order)
+        transcript = transcript or self._fresh_transcript()
         transcript.append(sum_claim)
 
-        for n_round in range(1, self.n + 1):
-
-            poly_round = proof[n_round - 1]
-
-            if poly_round.degree() > degree_bound:
+        challenges = []
+        expected = sum_claim
+        for rnd, uni in enumerate(proof):
+            if uni.degree() > degree_bound:
                 return False
-
-            round_eval = (poly_round(0) + poly_round(1)) % self.order
-
-            if n_round > 1:
-                r = transcript.get_challenge_scalar()
-                r_evals += [r]
-
-                prev_eval = proof[n_round - 2](r)
-
-            # proof[i](r) == proof[i+1](0) + proof[i+1](1)
-            if prev_eval != round_eval:
+            if rnd > 0:
+                challenges.append(transcript.get_challenge_scalar())
+                expected = proof[rnd - 1](challenges[-1])
+            if (uni(0) + uni(1)) % self.order != expected:
                 return False
+            transcript.append(uni.coeffs())
 
-            transcript.append(poly_round.coeffs())
-
-        r = transcript.get_challenge_scalar()
-        r_evals += [r]
-
-        if mlpoly:
-            if mlpoly.evaluate(r_evals) != proof[-1](r):
-                return False
-
-        return r_evals
+        challenges.append(transcript.get_challenge_scalar())
+        if mlpoly and mlpoly.evaluate(challenges) != proof[-1](challenges[-1]):
+            return False
+        return challenges

@@ -1,73 +1,85 @@
-"""Fiat-Shamir transcript.
+"""Fiat-Shamir transcript over blake2b.
 
-Bit-exact parity with /root/reference/python/zksnake/transcript.py, including
-the absorption quirks called out in SURVEY.md section 7 ("hard parts" #3):
-ints are absorbed as `int.to_bytes(d, d.bit_length(), "big")` — the byte
-count equals the *bit* count (transcript.py:47,51) — and `get_challenge`
-rehashes the digest as the new state (transcript.py:65-68).
+Byte-exact behavioral parity with /root/reference/python/zksnake/transcript.py
+(SURVEY.md §7 "hard parts" #3): every absorption and challenge derivation
+below produces the identical byte stream, including the reference's quirks —
+ints are absorbed as big-endian buffers whose BYTE length equals the value's
+BIT length (reference transcript.py:47,51), and each challenge re-seeds the
+hasher with the previous digest (:65-68). The code itself is original.
 """
 
 import hashlib
+
 from .constant import BN254_SCALAR_FIELD
 from .ecc import EllipticCurve, ispointG1, ispointG2
 
 
 def hash_to_scalar(data: bytes, domain_separation_tag: bytes, curve: str = "BN254"):
-    E = EllipticCurve(curve)
-    return E.curve.PointG1.hash_to_field(domain_separation_tag, data)
+    """Field element from bytes via the curve's hash_to_field."""
+    mod = EllipticCurve(curve).curve
+    return mod.PointG1.hash_to_field(domain_separation_tag, data)
 
 
 def hash_to_curve(
     data: bytes, domain_separation_tag: bytes, curve: str = "BN254", size: int = 1
 ):
-    E = EllipticCurve(curve)
+    """Derive `size` G1 points; each round re-hashes the previous point's
+    compressed bytes (chain derivation, matching the reference)."""
+    mod = EllipticCurve(curve).curve
+    out = []
+    seed = data
+    while len(out) < size:
+        pt = mod.PointG1.hash_to_curve(domain_separation_tag, seed)
+        out.append(pt)
+        seed = bytes(pt.to_bytes())
+    return out[0] if size == 1 else out
 
-    points = []
-    for _ in range(size):
-        point = E.curve.PointG1.hash_to_curve(domain_separation_tag, data)
-        points.append(point)
 
-        # chain-hash for multi-point derivation (matches reference behavior)
-        data = bytes(point.to_bytes())
-
-    return points[0] if size == 1 else points
+def _int_to_transcript_bytes(value: int) -> bytes:
+    # Quirk preserved from the reference: byte count == bit count, so e.g.
+    # 5 (3 bits) absorbs as b"\x00\x00\x05" and 0 absorbs as b"".
+    return value.to_bytes(value.bit_length(), "big")
 
 
 class FiatShamirTranscript:
+    """Absorb-only transcript; challenges are digests that also become the
+    next hasher seed."""
 
-    def __init__(self, label: bytes = b"", field=BN254_SCALAR_FIELD, alg="blake2b"):
+    def __init__(self, label: bytes = b"", field: int = BN254_SCALAR_FIELD, alg: str = "blake2b"):
         self.alg = alg
         self.label = label
-        self.hasher = hashlib.new(alg, label)
-        self.state = []
         self.field = field
+        self.state = []
+        self.hasher = hashlib.new(alg, label)
 
     def reset(self):
         self.hasher = hashlib.new(self.alg, self.label)
 
+    def _encode(self, item) -> bytes:
+        if isinstance(item, bytes):
+            return item
+        if isinstance(item, str):
+            return item.encode()
+        if isinstance(item, int):
+            return _int_to_transcript_bytes(item)
+        if ispointG1(item) or ispointG2(item):
+            return bytes(item.to_bytes())
+        raise TypeError(f"Type of {type(item)} is not supported as transcript")
+
     def append(self, data):
-        if isinstance(data, bytes):
-            self.hasher.update(data)
-        elif isinstance(data, str):
-            self.hasher.update(data.encode())
-        elif isinstance(data, int):
-            data = int.to_bytes(data, data.bit_length(), "big")
-            self.hasher.update(data)
-        elif data and isinstance(data, list) and isinstance(data[0], int):
-            for d in data:
-                d = int.to_bytes(d, d.bit_length(), "big")
-                self.hasher.update(d)
-        elif ispointG1(data) or ispointG2(data):
-            self.hasher.update(bytes(data.to_bytes()))
-        elif (
-            data
-            and isinstance(data, list)
-            and (ispointG1(data[0]) or ispointG2(data[0]))
-        ):
-            for d in data:
-                self.hasher.update(bytes(d.to_bytes()))
+        if isinstance(data, list):
+            # Only non-empty int/point lists are absorbable (per reference).
+            head_ok = bool(data) and (
+                isinstance(data[0], int) or ispointG1(data[0]) or ispointG2(data[0])
+            )
+            if not head_ok:
+                raise TypeError(
+                    f"Type of {type(data)} is not supported as transcript"
+                )
+            for item in data:
+                self.hasher.update(self._encode(item))
         else:
-            raise TypeError(f"Type of {type(data)} is not supported as transcript")
+            self.hasher.update(self._encode(data))
 
     def get_challenge(self) -> bytes:
         digest = self.hasher.digest()

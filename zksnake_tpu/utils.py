@@ -1,80 +1,84 @@
-"""Misc helpers.
+"""Small host-side helpers shared across the library.
 
-Parity with reference: /root/reference/python/zksnake/utils.py
+Behavioral parity with /root/reference/python/zksnake/utils.py (OS-entropy
+sampling, chunking, next-pow-2, batch inversion); the implementations here are
+original. `batch_modinv` is the host fallback — the device path lives in
+backend.field (prefix_prod / mont_inv_batch).
 """
 
 import os
-import random
+import secrets
 import time
 
 
-def get_random_int(n_max):
-    """Get random integer in [1, n_max] range"""
-    rand = random.SystemRandom()
-    return rand.randint(1, n_max)
+def get_random_int(n_max: int) -> int:
+    """Uniform random integer in [1, n_max] drawn from the OS entropy pool."""
+    return 1 + secrets.randbelow(n_max)
 
 
-def get_n_jobs():
-    """Number of worker threads for host-side parallel sections (env ZKSNAKE_PARALLEL_CPU)"""
-    check_env = os.environ.get("ZKSNAKE_PARALLEL_CPU")
-    if check_env:
-        return int(check_env)
-    return 1
+def get_n_jobs() -> int:
+    """Host-side worker count (env ZKSNAKE_PARALLEL_CPU, default 1)."""
+    return int(os.environ.get("ZKSNAKE_PARALLEL_CPU") or 1)
 
 
-def split_list(data: bytes, n: int):
-    """Split data into n-sized chunks"""
-    return [data[i : i + n] for i in range(0, len(data), n)]
+def split_list(data, size: int):
+    """Chop `data` into consecutive chunks of `size` (last may be short)."""
+    return [data[off : off + size] for off in range(0, len(data), size)]
 
 
-def next_power_of_two(n: int):
-    """Get next 2^x number from n"""
-    return 1 << (n - 1).bit_length()
+def next_power_of_two(n: int) -> int:
+    """Smallest power of two >= n (1 for n <= 1)."""
+    return 2 ** max(0, (n - 1).bit_length())
 
 
-def is_power_of_two(n):
-    return (n & (n - 1)) == 0
+def is_power_of_two(n: int) -> bool:
+    return n & (n - 1) == 0
 
 
-def inner_product(a, b, p):
-    """Compute inner product `<a, b>` over modulus `p`"""
-    return sum(x * y for x, y in zip(a, b)) % p
+def inner_product(a, b, p: int) -> int:
+    """<a, b> mod p."""
+    acc = 0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc % p
 
 
-def batch_modinv(a: list, m: int):
-    """Compute modular inverse of `a[i]` over modulus `m` in batch
-    (Montgomery prefix-product trick; reference utils.py:42-62)"""
-    n = len(a)
-    prefix_products = [1] * n
+def batch_modinv(values, m: int):
+    """Invert every element of `values` mod m with ONE modular exponentiation.
 
-    for i in range(1, n):
-        prefix_products[i] = (prefix_products[i - 1] * a[i - 1]) % m
-
-    total_product = (prefix_products[-1] * a[-1]) % m
-    total_inverse = pow(total_product, -1, m)
-
-    inverses = [0] * n
-    suffix_inverse = total_inverse
-    for i in range(n - 1, -1, -1):
-        inverses[i] = (suffix_inverse * prefix_products[i]) % m
-        suffix_inverse = (suffix_inverse * a[i]) % m
-
-    return inverses
+    Montgomery's trick: fold the list into inclusive running products, invert
+    the total, then peel the inverse back element by element. O(n) mults +
+    one pow(-1). Raises (via pow) if any element is non-invertible.
+    """
+    running = []
+    acc = 1
+    for v in values:
+        acc = acc * v % m
+        running.append(acc)
+    if not values:
+        return []
+    inv_acc = pow(acc, -1, m)
+    out = [0] * len(values)
+    for i in range(len(values) - 1, 0, -1):
+        out[i] = running[i - 1] * inv_acc % m
+        inv_acc = inv_acc * values[i] % m
+    out[0] = inv_acc
+    return out
 
 
 class Timer:
-    """Context manager printing elapsed wall-clock time (reference utils.py:65-78)."""
+    """Context manager that prints elapsed wall-clock seconds on exit."""
 
-    def __init__(self, name):
-        self.start_time = 0
-        self.end_time = 0
+    def __init__(self, name: str):
         self.name = name
+        self.elapsed = 0.0
+        self._t0 = None
 
     def __enter__(self):
-        self.start_time = time.time()
+        self._t0 = time.perf_counter()
         return self
 
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        self.end_time = time.time()
-        elapsed_time = self.end_time - self.start_time
-        print(f"{self.name}: {elapsed_time:.2f} seconds")
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        print(f"{self.name}: {self.elapsed:.2f} seconds")
+        return False
