@@ -143,7 +143,9 @@ def test_add_affine_matches_add(mod, grp):
 
 
 def test_plonk_device_prover(monkeypatch):
-    """Fused device PlonK prover output verifies with the host verifier."""
+    """Fused device PlonK prover (backend/plonk_device.py) runs all five
+    rounds on device and produces byte-identical proofs to the host prover
+    under the same blinding draw."""
     monkeypatch.setattr(_cfg, "PLONK_DEVICE_THRESHOLD", 1)
     import sys, pathlib
 
@@ -159,8 +161,33 @@ def test_plonk_device_prover(monkeypatch):
     pub, priv = plonkish.generate_witness(plonkish.solve({"x": 3}))
     plonk = Plonk(plonkish)
     plonk.setup()
-    proof = plonk.prove(pub, priv)
-    assert plonk.verify(Proof.from_bytes(proof.to_bytes()), pub)
+
+    blinds = [0xB11D + 17 * i for i in range(11)]
+    host_proof = plonk._prove_with_blinding(pub, priv, blinds, force_host=True)
+    dev_proof = plonk._prove_with_blinding(pub, priv, blinds)
+    assert plonk._dev_prover is not None  # device path actually ran
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
+    assert plonk.verify(Proof.from_bytes(dev_proof.to_bytes()), pub)
+
+
+def test_mle_device_fold_matches_host(monkeypatch):
+    """Device strided MLE fold (backend/mle.py) matches the host dict walk."""
+    from zksnake_tpu.backend import config as _c
+    from zksnake_tpu.polynomial import MultilinearPolynomial
+
+    monkeypatch.setattr(_c, "MLE_DEVICE_THRESHOLD", 1)
+    random.seed(12)
+    nv = 6
+    entries = [(i, random.randrange(P)) for i in range(1 << nv) if i % 3]
+    mle = MultilinearPolynomial(nv, entries, P)
+    points = [random.randrange(P) for _ in range(3)]
+
+    dev = mle.partial_evaluate(points)
+
+    monkeypatch.setattr(_c, "MLE_DEVICE_THRESHOLD", 1 << 62)  # force host
+    host = mle.partial_evaluate(points)
+    assert dev.num_vars == host.num_vars and dev.evals == host.evals
+    assert mle.evaluate(points + [random.randrange(P) for _ in range(nv - 3)]) is not None
 
 
 def test_prefix_prod_and_batch_inv():

@@ -330,6 +330,47 @@ def prefix_prod(fs, x):
     return jax.lax.fori_loop(0, steps, body, x)
 
 
+def prefix_sum_mod(fs, x):
+    """Inclusive prefix sum (mod p) along the last axis of a (nl, ..., n)
+    limb tensor — the additive twin of prefix_prod (Hillis-Steele scan,
+    ceil(log2 n) mod_adds)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    steps = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(k, a):
+        sh = jnp.int32(1) << k
+        rolled = jnp.roll(a, sh, axis=-1)
+        cand = mod_add(fs, a, rolled)
+        cond = (idx >= sh).reshape((1,) * (a.ndim - 1) + (n,))
+        return jnp.where(cond, cand, a)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
+def sum_mod(fs, x, axis=-1):
+    """Sum a limb tensor along `axis` (mod p) by folding in halves
+    (log2(n) mod_adds; odd remainders fold via zero-padding)."""
+    if axis < 0:
+        axis += x.ndim
+    n = x.shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(x, half, 2 * half, axis=axis)
+        s = mod_add(fs, lo, hi)
+        if n & 1:
+            tail = jax.lax.slice_in_dim(x, 2 * half, n, axis=axis)
+            s = jnp.concatenate([s, tail], axis=axis)
+            n = half + 1
+        else:
+            n = half
+        x = s
+    return x
+
+
 def mont_inv_batch(fs, x):
     """Batched inversion of a (nl, n) limb tensor along the last axis via the
     Montgomery product trick: two log-depth product scans + ONE Fermat

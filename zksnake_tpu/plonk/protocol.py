@@ -1,48 +1,62 @@
-"""PlonK proof system (https://eprint.iacr.org/2019/953.pdf), vanilla/paper
-version.
+"""PlonK proof system (https://eprint.iacr.org/2019/953.pdf, vanilla/paper
+version).
 
-Protocol parity with /root/reference/python/zksnake/plonk/protocol.py:
-universal setup with optional external powers-of-tau, cosets k1=2/k2=3,
-4n-extended-domain selector eval caches, the 5-round prover and the
-D/F/E-combination verifier. Transcript absorption order is bit-exact
-(the Fiat-Shamir challenges must match the reference's; SURVEY.md section 7
-hard part #3). NTTs and MSMs dispatch to the TPU backend.
+Behavioral parity with /root/reference/python/zksnake/plonk/protocol.py:
+universal setup with optional external powers of tau, cosets k1=2/k2=3,
+5-round prover, D/F/E-combination verifier, and a bit-exact Fiat-Shamir
+schedule (SURVEY.md §7 hard part #3). Original implementation:
+
+- Above PLONK_DEVICE_THRESHOLD the prover runs the fused device pipeline
+  (backend/plonk_device.py) — every NTT, permutation scan, quotient fold,
+  polynomial evaluation, and opening division on device; the host only
+  orchestrates the transcript. Proof bytes are identical to the host path
+  under the same blinding draw.
+- Both paths derive round 5 from one shared linearization: the W_zeta
+  numerator is a single weighted combination of 15 cached polynomials whose
+  scalar weights come from the round-4 evaluations
+  (_linearization_weights), rather than re-deriving R inline.
 """
 
 from ..arithmetization.plonkish import Plonkish
 from ..ecc import EllipticCurve
-from ..transcript import FiatShamirTranscript
-from ..utils import batch_modinv, get_random_int
 from ..polynomial import (
     Polynomial,
     add_over_evaluation_domain,
     barycentric_eval,
     evaluate_vanishing_polynomial,
     fft,
+    get_all_evaluation_points,
     get_evaluation_point,
     ifft,
     mul_over_evaluation_domain,
     mul_over_fft,
-    get_all_evaluation_points,
 )
-from .serialization import ProvingKey, VerifyingKey, Proof
+from ..transcript import FiatShamirTranscript
+from ..utils import batch_modinv, get_random_int
+from .serialization import SELECTOR_KEYS, Proof, ProvingKey, VerifyingKey
+
+K1 = 2
+K2 = 3
 
 
 class Plonk:
-    """PlonK proof system (original paper / vanilla version)."""
+    """PlonK over `BN254` or `BLS12_381`, built from compiled Plonkish
+    constraints."""
 
     def __init__(self, constraints: Plonkish, curve: str = "BN254"):
         self.E = EllipticCurve(curve)
         self.order = self.E.order
         self.constraints = constraints
+        self.label = "PlonK"
         self.G1_tau = None
         self.G2_tau = None
-        self.label = "PlonK"
-
         self.proving_key = None
         self.verifying_key = None
         self._roots = []
         self._tau_dev = None
+        self._dev_prover = None
+
+    # -- commitments -------------------------------------------------------
 
     def _commit(self, tau_g1, coeffs):
         """MSM of coeffs against the tau powers; large circuits use the
@@ -78,449 +92,368 @@ class Plonk:
             self.E.curve.PointG1,
         )[0]
 
+    # -- setup ---------------------------------------------------------------
+
     def setup(self, g1_tau=None, g2_tau=None):
-        """Universal trusted setup; optionally reuse external powers of tau."""
+        """Universal trusted setup; optionally resume from external powers
+        of tau (the reference's checkpoint path, its protocol.py:53-57)."""
+        n = self.constraints.length
+        p = self.order
 
         if not g1_tau:
-            tau = get_random_int(self.order - 1)
-            power_of_tau = [
-                pow(tau, i, self.order) for i in range(self.constraints.length + 6)
-            ]
-            self.G1_tau = self.E.batch_mul(self.E.G1(), power_of_tau)
+            tau = get_random_int(p - 1)
+            powers = []
+            acc = 1
+            for _ in range(n + 6):
+                powers.append(acc)
+                acc = acc * tau % p
+            self.G1_tau = self.E.batch_mul(self.E.G1(), powers)
             self.G2_tau = self.E.G2() * tau
         else:
-            assert (
-                len(self.G1_tau) < self.constraints.length + 6
-            ), "Constraints are too big for the given g1_tau"
+            if len(self.G1_tau or g1_tau) >= n + 6:
+                raise ValueError("Constraints are too big for the given g1_tau")
             self.G1_tau = g1_tau
             self.G2_tau = g2_tau
 
-        roots = get_all_evaluation_points(self.constraints.length, self.order)
+        roots = get_all_evaluation_points(n, p)
+        self._roots = roots
 
-        n = self.constraints.length
-        k1 = 2
-        k2 = 3
+        # identity and copy-permutation tables over the 3n wire slots
+        ids = (
+            roots
+            + [K1 * w % p for w in roots]
+            + [K2 * w % p for w in roots]
+        )
+        perm = self.constraints.permutation
+        sigma_cols = [
+            [ids[perm[slot + lane * n]] for slot in range(n)] for lane in range(3)
+        ]
 
-        id1 = roots
-        id2 = [k1 * root % self.order for root in roots]
-        id3 = [k2 * root % self.order for root in roots]
-        ids = list(id1 + id2 + id3)
-        permutation = self.constraints.permutation
-
-        sigma1 = [ids[permutation[i]] for i in range(n)]
-        sigma2 = [ids[permutation[i + n]] for i in range(n)]
-        sigma3 = [ids[permutation[i + 2 * n]] for i in range(n)]
-
-        # selector polynomials
-        QL = Polynomial(ifft(self.constraints.qL, self.order), self.order)
-        QR = Polynomial(ifft(self.constraints.qR, self.order), self.order)
-        QO = Polynomial(ifft(self.constraints.qO, self.order), self.order)
-        QM = Polynomial(ifft(self.constraints.qM, self.order), self.order)
-        QC = Polynomial(ifft(self.constraints.qC, self.order), self.order)
-
-        # permutation polynomials
-        S1 = Polynomial(ifft(sigma1, self.order), self.order)
-        S2 = Polynomial(ifft(sigma2, self.order), self.order)
-        S3 = Polynomial(ifft(sigma3, self.order), self.order)
-
-        selector_evaluations = {
-            "L": fft(QL.coeffs(), self.order, n * 4),
-            "R": fft(QR.coeffs(), self.order, n * 4),
-            "O": fft(QO.coeffs(), self.order, n * 4),
-            "M": fft(QM.coeffs(), self.order, n * 4),
-            "C": fft(QC.coeffs(), self.order, n * 4),
+        selector_vectors = {
+            "L": self.constraints.qL,
+            "R": self.constraints.qR,
+            "O": self.constraints.qO,
+            "M": self.constraints.qM,
+            "C": self.constraints.qC,
         }
-
         selector_poly = {
-            "L": QL,
-            "R": QR,
-            "O": QO,
-            "M": QM,
-            "C": QC,
+            k: Polynomial(ifft(v, p), p) for k, v in selector_vectors.items()
         }
-
-        sigma_permutation_poly = [S1, S2, S3]
-
-        id1_poly = Polynomial(ifft(id1, self.order), self.order)
-        id2_poly = Polynomial(ifft(id2, self.order), self.order)
-        id3_poly = Polynomial(ifft(id3, self.order), self.order)
-
-        identity_permutation_poly = [id1_poly, id2_poly, id3_poly]
-
-        tau_QL = self._commit(self.G1_tau, QL.coeffs())
-        tau_QR = self._commit(self.G1_tau, QR.coeffs())
-        tau_QO = self._commit(self.G1_tau, QO.coeffs())
-        tau_QM = self._commit(self.G1_tau, QM.coeffs())
-        tau_QC = self._commit(self.G1_tau, QC.coeffs())
-        tau_sigma1 = self._commit(self.G1_tau, S1.coeffs())
-        tau_sigma2 = self._commit(self.G1_tau, S2.coeffs())
-        tau_sigma3 = self._commit(self.G1_tau, S3.coeffs())
+        selector_evaluations = {
+            k: fft(poly.coeffs(), p, 4 * n) for k, poly in selector_poly.items()
+        }
+        sigma_polys = [Polynomial(ifft(col, p), p) for col in sigma_cols]
+        identity_polys = [Polynomial(ifft(ids[i * n : (i + 1) * n], p), p)
+                          for i in range(3)]
 
         tau_selector = {
-            "L": tau_QL,
-            "R": tau_QR,
-            "O": tau_QO,
-            "M": tau_QM,
-            "C": tau_QC,
+            k: self._commit(self.G1_tau, selector_poly[k].coeffs())
+            for k in SELECTOR_KEYS
         }
+        tau_permutation = [
+            self._commit(self.G1_tau, poly.coeffs()) for poly in sigma_polys
+        ]
 
-        tau_permutation = [tau_sigma1, tau_sigma2, tau_sigma3]
+        # L1 (the first Lagrange basis poly) cached as 4n evaluations
+        L1 = Polynomial(ifft([1] + [0] * (n - 1), p), p)
+        lagrange_evals = fft(L1.coeffs(), p, 4 * n)
 
-        L1 = Polynomial(ifft([1] + [0] * (n - 1), self.order), self.order)
-        lagrange_evals = fft(L1.coeffs(), self.order, n * 4)
-
-        pk = ProvingKey(
-            n,
-            self.G1_tau,
-            selector_poly,
-            selector_evaluations,
-            sigma_permutation_poly,
-            identity_permutation_poly,
-            tau_selector,
-            tau_permutation,
-            lagrange_evals,
-            self.E.name,
+        self.proving_key = ProvingKey(
+            n, self.G1_tau, selector_poly, selector_evaluations,
+            sigma_polys, identity_polys, tau_selector, tau_permutation,
+            lagrange_evals, self.E.name,
+        )
+        self.verifying_key = VerifyingKey(
+            n, self.G2_tau, tau_selector, tau_permutation, self.E.name
         )
 
-        vk = VerifyingKey(n, self.G2_tau, tau_selector, tau_permutation, self.E.name)
+    # -- prover --------------------------------------------------------------
 
-        self.proving_key = pk
-        self.verifying_key = vk
-        self._roots = roots
+    def _device_prover(self):
+        """Fused device pipeline when the domain crosses the threshold."""
+        from ..backend import config as _cfg
+
+        n = self.proving_key.n
+        if not _cfg.use_device(n, _cfg.PLONK_DEVICE_THRESHOLD) or n < 8:
+            return None
+        if self._dev_prover is None:
+            from ..backend.plonk_device import PlonkDeviceProver
+            from ..curves.params import CURVES
+
+            self._dev_prover = PlonkDeviceProver(
+                self.proving_key, CURVES[self.E.name]
+            )
+        return self._dev_prover
+
+    def _init_transcript(self, public_witness):
+        transcript = FiatShamirTranscript(field=self.order)
+        for key in SELECTOR_KEYS:
+            transcript.append(self.proving_key.tau_selector_poly[key])
+        for point in self.proving_key.tau_permutation_poly:
+            transcript.append(point)
+        for value in public_witness.values():
+            transcript.append(value)
+        return transcript
+
+    def _split_wires(self, public_witness, private_witness):
+        n = self.proving_key.n
+        lanes = [private_witness[lane::3] for lane in range(3)]
+        lanes = [lane + [0] * (n - len(lane)) for lane in lanes]
+        pub_vec = [0] * n
+        for gate, value in public_witness.items():
+            pub_vec[gate] = value
+        return lanes, pub_vec
 
     def prove(self, public_witness: dict, private_witness: list):
         """Prove statement from Plonkish constraints."""
-        assert self.proving_key, "ProvingKey has not been generated"
-        n = self.proving_key.n
+        blinds = [get_random_int(self.order - 1) for _ in range(11)]
+        return self._prove_with_blinding(public_witness, private_witness, blinds)
 
+    def _prove_with_blinding(self, public_witness, private_witness, blinds,
+                             force_host=False):
+        """blinds = [a0,a1, b0,b1, c0,c1, z0,z1,z2, t0,t1] — factored out so
+        the host/device byte-identity test can fix the randomness."""
+        if not self.proving_key:
+            raise RuntimeError("ProvingKey has not been generated")
         if not self._roots:
-            self._roots = get_all_evaluation_points(n, self.order)
+            self._roots = get_all_evaluation_points(self.proving_key.n, self.order)
 
-        a = private_witness[::3] + [0] * (n - len(private_witness[::3]))
-        b = private_witness[1::3] + [0] * (n - len(private_witness[1::3]))
-        c = private_witness[2::3] + [0] * (n - len(private_witness[2::3]))
+        (a, b, c), pub_vec = self._split_wires(public_witness, private_witness)
+        transcript = self._init_transcript(public_witness)
 
-        full_public_witness = [0] * (n)
-        for k, v in public_witness.items():
-            full_public_witness[k] = v
+        dev = None if force_host else self._device_prover()
+        if dev is not None:
+            return self._prove_device(dev, transcript, a, b, c, pub_vec, blinds)
+        return self._prove_host(transcript, a, b, c, pub_vec, blinds)
 
-        transcript = FiatShamirTranscript(field=self.order)
+    # ---- shared round-5 derivation ----
 
-        # vanishing polynomial X^n - 1
-        Zh = Polynomial([-1 % self.order] + [0] * (n - 1) + [1], self.order)
+    def _linearization_weights(self, beta, gamma, alpha, zeta, v, evals, pi_zeta):
+        """Scalar weights for the W_zeta numerator as a combination of
+        [QL QR QO QM QC | Z | sigma3 | T_lo T_mid T_hi | A B C | s1 s2],
+        plus its constant term and the second opening's constant.
 
-        selector_poly = self.proving_key.selector_poly
-        selector_eval = self.proving_key.selector_eval
+        Algebra identical to the reference's linearization R (its
+        protocol.py:413-442) merged with the v-fold of round 5 (:457-464)."""
+        p = self.order
+        n = self.proving_key.n
+        z_a, z_b, z_c, z_s1, z_s2, z_zw = evals
 
-        id1, id2, id3 = self.proving_key.identity_poly
-        sigma1, sigma2, sigma3 = self.proving_key.permutation_poly
+        l1_zeta = barycentric_eval(n, {0: 1}, zeta, p)
+        zh_zeta = evaluate_vanishing_polynomial(n, zeta, p)
+        gate_nom = (
+            (z_a + beta * zeta + gamma)
+            * (z_b + beta * K1 * zeta + gamma)
+            * (z_c + beta * K2 * zeta + gamma)
+        ) % p
+        gate_den = ((z_a + beta * z_s1 + gamma) * (z_b + beta * z_s2 + gamma)) % p
 
-        tau_QL = self.proving_key.tau_selector_poly["L"]
-        tau_QR = self.proving_key.tau_selector_poly["R"]
-        tau_QO = self.proving_key.tau_selector_poly["O"]
-        tau_QM = self.proving_key.tau_selector_poly["M"]
-        tau_QC = self.proving_key.tau_selector_poly["C"]
-        tau_sigma1 = self.proving_key.tau_permutation_poly[0]
-        tau_sigma2 = self.proving_key.tau_permutation_poly[1]
-        tau_sigma3 = self.proving_key.tau_permutation_poly[2]
+        v_pows = [pow(v, i, p) for i in range(1, 6)]
+        weights = [
+            z_a, z_b, z_c, z_a * z_b % p, 1,
+            (alpha * gate_nom + alpha * alpha % p * l1_zeta) % p,
+            (-alpha * beta * gate_den * z_zw) % p,
+            (-zh_zeta) % p,
+            (-zh_zeta * pow(zeta, n, p)) % p,
+            (-zh_zeta * pow(zeta, 2 * n, p)) % p,
+        ] + v_pows
+        const1 = (
+            pi_zeta
+            - alpha * gate_den * (z_c + gamma) * z_zw
+            - alpha * alpha * l1_zeta
+            - sum(w * e for w, e in zip(v_pows, evals[:5]))
+        ) % p
+        const2 = (-z_zw) % p
+        return weights, const1, const2
 
-        transcript.append(tau_QL)
-        transcript.append(tau_QR)
-        transcript.append(tau_QO)
-        transcript.append(tau_QM)
-        transcript.append(tau_QC)
-        transcript.append(tau_sigma1)
-        transcript.append(tau_sigma2)
-        transcript.append(tau_sigma3)
+    # ---- device prover ----
 
-        for _, v in public_witness.items():
-            transcript.append(v)
+    def _prove_device(self, dev, transcript, a, b, c, pub_vec, blinds):
+        P1 = self.E.curve.PointG1
+        p = self.order
 
-        ################################################################
-        # ROUND 1: wire polynomials A(x), B(x), C(x) with blinding, and
-        # G = (A*QL) + (B*QR) + (A*B*QM) + (C*QO) + QC + PI for round 3
-        ################################################################
-
-        A = Polynomial(ifft(a, self.order), self.order)
-        B = Polynomial(ifft(b, self.order), self.order)
-        C = Polynomial(ifft(c, self.order), self.order)
-        PI = Polynomial(ifft(full_public_witness, self.order), self.order)
-
-        zero_pad = [0] * (n - 2)
-        blinding_a = Polynomial(
-            [get_random_int(self.order - 1) for _ in range(2)] + zero_pad,
-            self.order,
-        )
-        blinding_b = Polynomial(
-            [get_random_int(self.order - 1) for _ in range(2)] + zero_pad,
-            self.order,
-        )
-        blinding_c = Polynomial(
-            [get_random_int(self.order - 1) for _ in range(2)] + zero_pad,
-            self.order,
-        )
-
-        A = A + blinding_a.multiply_by_vanishing_poly()
-        B = B + blinding_b.multiply_by_vanishing_poly()
-        C = C + blinding_c.multiply_by_vanishing_poly()
-
-        a_eval = fft(A.coeffs(), self.order, n * 4)
-        b_eval = fft(B.coeffs(), self.order, n * 4)
-        c_eval = fft(C.coeffs(), self.order, n * 4)
-        pi_eval = fft(PI.coeffs(), self.order, n * 4)
-
-        a_ql = mul_over_evaluation_domain(n * 4, a_eval, selector_eval["L"], self.order)
-        b_qr = mul_over_evaluation_domain(n * 4, b_eval, selector_eval["R"], self.order)
-        c_qo = mul_over_evaluation_domain(n * 4, c_eval, selector_eval["O"], self.order)
-        ab = mul_over_evaluation_domain(n * 4, a_eval, b_eval, self.order)
-        ab_qm = mul_over_evaluation_domain(n * 4, ab, selector_eval["M"], self.order)
-
-        g_eval = add_over_evaluation_domain(
-            n * 4,
-            [a_ql, b_qr, c_qo, ab_qm, selector_eval["C"], pi_eval],
-            self.order,
-        )
-        G = Polynomial(ifft(g_eval, self.order), self.order, n)
-
-        tau_a = self._commit(self.proving_key.tau_g1, A.coeffs())
-        tau_b = self._commit(self.proving_key.tau_g1, B.coeffs())
-        tau_c = self._commit(self.proving_key.tau_g1, C.coeffs())
-
-        transcript.append(tau_a)
-        transcript.append(tau_b)
-        transcript.append(tau_c)
-
-        ################################################################
-        # ROUND 2: permutation accumulator z(X)
-        ################################################################
-
+        commit_abc = dev.round1(a, b, c, pub_vec, blinds[:6], P1)
+        for point in commit_abc:
+            transcript.append(point)
         beta = transcript.get_challenge_scalar()
         gamma = transcript.get_challenge_scalar()
 
-        zero_pad = [0] * (n - 3)
-        blinding_permutation = Polynomial(
-            [get_random_int(self.order - 1) for _ in range(3)] + zero_pad,
-            self.order,
-        )
-
-        a_id = fft((A + id1 * beta + gamma).coeffs(), self.order, n * 4)
-        b_id = fft((B + id2 * beta + gamma).coeffs(), self.order, n * 4)
-        c_id = fft((C + id3 * beta + gamma).coeffs(), self.order, n * 4)
-
-        ab_id = mul_over_evaluation_domain(n * 4, a_id, b_id, self.order)
-        eval_nom_poly = mul_over_evaluation_domain(n * 4, ab_id, c_id, self.order)
-        nom_poly = Polynomial(ifft(eval_nom_poly, self.order), self.order)
-
-        a_sigma = fft((A + sigma1 * beta + gamma).coeffs(), self.order, n * 4)
-        b_sigma = fft((B + sigma2 * beta + gamma).coeffs(), self.order, n * 4)
-        c_sigma = fft((C + sigma3 * beta + gamma).coeffs(), self.order, n * 4)
-
-        ab_sigma = mul_over_evaluation_domain(n * 4, a_sigma, b_sigma, self.order)
-        eval_denom_poly = mul_over_evaluation_domain(
-            n * 4, ab_sigma, c_sigma, self.order
-        )
-        denom_poly = Polynomial(ifft(eval_denom_poly, self.order), self.order)
-
-        nom_inv_denom = batch_modinv(
-            [eval_denom_poly[i] for i in range(0, len(eval_denom_poly), 4)],
-            self.order,
-        )
-
-        accumulator = [1]
-        for i in range(n):
-            accumulator += [
-                accumulator[-1] * eval_nom_poly[i * 4] * nom_inv_denom[i] % self.order
-            ]
-
-        assert accumulator.pop() == 1, "Copy constraints are not satisfied"
-
-        acc_poly = Polynomial(ifft(accumulator, self.order), self.order)
-
-        Z = blinding_permutation.multiply_by_vanishing_poly() + acc_poly
-        tau_z = self._commit(self.proving_key.tau_g1, Z.coeffs())
-
-        transcript.append(tau_z)
-
-        ################################################################
-        # ROUND 3: quotient polynomial T(X)
-        ################################################################
-
+        commit_z = dev.round2(beta, gamma, blinds[6:9], P1)
+        transcript.append(commit_z)
         alpha = transcript.get_challenge_scalar()
 
-        Z_omega = Polynomial(
-            [
-                coeff * self._roots[i % n] % self.order
-                for i, coeff in enumerate(Z.coeffs())
-            ],
-            self.order,
-        )
-
-        nom_poly_Z = mul_over_fft(n, nom_poly, Z, self.order)
-        denom_poly_Z_omega = mul_over_fft(n, denom_poly, Z_omega, self.order)
-
-        z_1_eval = fft((Z - 1).coeffs(), self.order, n * 4)
-        z_1_l1_eval = mul_over_evaluation_domain(
-            n * 4, z_1_eval, self.proving_key.lagrange_evals, self.order
-        )
-        Z_1_L1 = Polynomial(ifft(z_1_l1_eval, self.order), self.order)
-
-        T, remainder = (
-            G
-            + (nom_poly_Z - denom_poly_Z_omega) * alpha
-            + Z_1_L1 * pow(alpha, 2, self.order)
-        ).divide_by_vanishing_poly()
-
-        assert remainder.is_zero()
-
-        t_coeff = T.coeffs()
-        T_lo = Polynomial(t_coeff[:n], self.order)
-        T_mid = Polynomial(t_coeff[n : 2 * n], self.order)
-        T_hi = Polynomial(t_coeff[2 * n :], self.order)
-
-        X_n = Polynomial([0] * (n) + [1], self.order)
-
-        blindings = [get_random_int(self.order - 1) for _ in range(2)]
-
-        T_lo = T_lo + X_n * blindings[0]
-        T_mid = T_mid - blindings[0] + X_n * blindings[1]
-        T_hi = T_hi - blindings[1]
-
-        tau_T_lo = self._commit(self.proving_key.tau_g1, T_lo.coeffs())
-        tau_T_mid = self._commit(self.proving_key.tau_g1, T_mid.coeffs())
-        tau_T_hi = self._commit(self.proving_key.tau_g1, T_hi.coeffs())
-
-        transcript.append(tau_T_lo)
-        transcript.append(tau_T_mid)
-        transcript.append(tau_T_hi)
-
-        ################################################################
-        # ROUND 4: opening evaluations at zeta + linearization R(x)
-        ################################################################
-
+        commit_t = dev.round3(alpha, blinds[9:11], P1)
+        for point in commit_t:
+            transcript.append(point)
         zeta = transcript.get_challenge_scalar()
 
-        zeta_A = A(zeta)
-        zeta_B = B(zeta)
-        zeta_C = C(zeta)
-        zeta_sigma1 = sigma1(zeta)
-        zeta_sigma2 = sigma2(zeta)
-        zeta_Z_omega = Z_omega(zeta)
-
-        L1_zeta = barycentric_eval(n, {0: 1}, zeta, self.order)
-
-        k1 = 2
-        k2 = 3
-        R = (
-            (
-                selector_poly["L"] * zeta_A
-                + selector_poly["R"] * zeta_B
-                + selector_poly["O"] * zeta_C
-                + selector_poly["M"] * zeta_A * zeta_B
-                + selector_poly["C"]
-                + PI(zeta)
-            )
-            + alpha
-            * (
-                (zeta_A + beta * zeta + gamma)
-                * (zeta_B + beta * k1 * zeta + gamma)
-                * (zeta_C + beta * k2 * zeta + gamma)
-                * Z
-                - (zeta_A + beta * zeta_sigma1 + gamma)
-                * (zeta_B + beta * zeta_sigma2 + gamma)
-                * (sigma3 * beta + zeta_C + gamma)
-                * zeta_Z_omega
-            )
-            + pow(alpha, 2, self.order) * ((Z - 1) * L1_zeta)
-            - (
-                (
-                    T_lo
-                    + pow(zeta, n, self.order) * T_mid
-                    + T_hi * pow(zeta, n * 2, self.order)
-                )
-                * Zh(zeta)
-            )
-        )
-
-        transcript.append(zeta_A)
-        transcript.append(zeta_B)
-        transcript.append(zeta_C)
-        transcript.append(zeta_sigma1)
-        transcript.append(zeta_sigma2)
-        transcript.append(zeta_Z_omega)
-
-        ################################################################
-        # ROUND 5: opening proof polynomials W_zeta, W_zeta_omega
-        ################################################################
-
+        *evals, pi_zeta = dev.round4(zeta)
+        for value in evals:
+            transcript.append(value)
         v = transcript.get_challenge_scalar()
 
-        W_zeta = (
-            R
-            + (A - zeta_A) * v
-            + (B - zeta_B) * pow(v, 2, self.order)
-            + (C - zeta_C) * pow(v, 3, self.order)
-            + (sigma1 - zeta_sigma1) * pow(v, 4, self.order)
-            + (sigma2 - zeta_sigma2) * pow(v, 5, self.order)
+        weights, const1, const2 = self._linearization_weights(
+            beta, gamma, alpha, zeta, v, evals, pi_zeta
         )
-        divisor_W_zeta = Polynomial([-zeta % self.order, 1], self.order)
-
-        W_zeta, remainder = W_zeta / divisor_W_zeta
-
-        assert remainder.is_zero()
-
-        divisor_W_zeta_omega = Polynomial(
-            [-(zeta * self._roots[1]) % self.order, 1], self.order
+        w_zeta, w_zeta_omega = dev.round5(
+            weights, const1, const2, zeta, zeta * self._roots[1] % p, P1
         )
-        W_zeta_omega, remainder = (Z - zeta_Z_omega) / divisor_W_zeta_omega
+        return Proof(*commit_abc, commit_z, *commit_t, w_zeta, w_zeta_omega, *evals)
 
-        assert remainder.is_zero()
+    # ---- host prover ----
 
-        tau_W_zeta = self._commit(self.proving_key.tau_g1, W_zeta.coeffs())
-        tau_W_zeta_omega = self._commit(
-            self.proving_key.tau_g1, W_zeta_omega.coeffs()
+    def _blinded_poly(self, values, rands):
+        """Interpolation of `values` + (b0 + b1 x) * (X^n - 1)."""
+        p = self.order
+        n = self.proving_key.n
+        mask = Polynomial(list(rands), p, n)
+        return Polynomial(ifft(values, p), p) + mask.multiply_by_vanishing_poly()
+
+    def _prove_host(self, transcript, a, b, c, pub_vec, blinds):
+        p = self.order
+        pk = self.proving_key
+        n = pk.n
+        n4 = 4 * n
+        sel_eval = pk.selector_eval
+        commit = lambda poly: self._commit(pk.tau_g1, poly.coeffs())
+
+        # ROUND 1 — blinded wire polynomials + gate product on the 4n domain
+        A = self._blinded_poly(a, blinds[0:2])
+        B = self._blinded_poly(b, blinds[2:4])
+        C = self._blinded_poly(c, blinds[4:6])
+        PI = Polynomial(ifft(pub_vec, p), p)
+
+        ext = {
+            name: fft(poly.coeffs(), p, n4)
+            for name, poly in (("a", A), ("b", B), ("c", C), ("pi", PI))
+        }
+        pointwise = lambda x, y: mul_over_evaluation_domain(n4, x, y, p)
+        g_eval = add_over_evaluation_domain(
+            n4,
+            [
+                pointwise(ext["a"], sel_eval["L"]),
+                pointwise(ext["b"], sel_eval["R"]),
+                pointwise(ext["c"], sel_eval["O"]),
+                pointwise(pointwise(ext["a"], ext["b"]), sel_eval["M"]),
+                sel_eval["C"],
+                ext["pi"],
+            ],
+            p,
         )
+        G = Polynomial(ifft(g_eval, p), p, n)
+
+        commit_abc = [commit(A), commit(B), commit(C)]
+        for point in commit_abc:
+            transcript.append(point)
+        beta = transcript.get_challenge_scalar()
+        gamma = transcript.get_challenge_scalar()
+
+        # ROUND 2 — permutation accumulator z(X)
+        id1, id2, id3 = pk.identity_poly
+        s1, s2, s3 = pk.permutation_poly
+
+        def shifted_product(w1, w2, w3):
+            rows = [
+                fft((wire + table * beta + gamma).coeffs(), p, n4)
+                for wire, table in ((A, w1), (B, w2), (C, w3))
+            ]
+            return pointwise(pointwise(rows[0], rows[1]), rows[2])
+
+        nom_eval = shifted_product(id1, id2, id3)
+        den_eval = shifted_product(s1, s2, s3)
+        nom_poly = Polynomial(ifft(nom_eval, p), p)
+        den_poly = Polynomial(ifft(den_eval, p), p)
+
+        # accumulator over the base domain (stride-4 samples of the 4n grid)
+        den_inv = batch_modinv(den_eval[::4][:n], p)
+        acc = [1]
+        for i in range(n):
+            acc.append(acc[-1] * nom_eval[4 * i] * den_inv[i] % p)
+        if acc.pop() != 1:
+            raise AssertionError("Copy constraints are not satisfied")
+        Z = Polynomial(list(blinds[6:9]), p, n).multiply_by_vanishing_poly() + Polynomial(
+            ifft(acc, p), p
+        )
+        commit_z = commit(Z)
+        transcript.append(commit_z)
+        alpha = transcript.get_challenge_scalar()
+
+        # ROUND 3 — quotient T = (G + alpha*(nom*Z - den*Zw) + alpha^2*(Z-1)*L1) / Zh
+        Z_omega = Polynomial(
+            [
+                coeff * self._roots[i % n] % p
+                for i, coeff in enumerate(Z.coeffs())
+            ],
+            p,
+        )
+        nom_z = mul_over_fft(n, nom_poly, Z, p)
+        den_zw = mul_over_fft(n, den_poly, Z_omega, p)
+        z1_l1 = Polynomial(
+            ifft(
+                pointwise(fft((Z - 1).coeffs(), p, n4), pk.lagrange_evals), p
+            ),
+            p,
+        )
+        T, remainder = (
+            G + (nom_z - den_zw) * alpha + z1_l1 * (alpha * alpha % p)
+        ).divide_by_vanishing_poly()
+        if not remainder.is_zero():
+            raise AssertionError("quotient remainder is non-zero")
+
+        t = T.coeffs()
+        x_n = Polynomial([0] * n + [1], p)
+        b_lo, b_hi = blinds[9:11]
+        T_lo = Polynomial(t[:n], p) + x_n * b_lo
+        T_mid = Polynomial(t[n : 2 * n], p) - b_lo + x_n * b_hi
+        T_hi = Polynomial(t[2 * n :], p) - b_hi
+
+        commit_t = [commit(T_lo), commit(T_mid), commit(T_hi)]
+        for point in commit_t:
+            transcript.append(point)
+        zeta = transcript.get_challenge_scalar()
+
+        # ROUND 4 — opening evaluations
+        evals = [
+            A(zeta), B(zeta), C(zeta), s1(zeta), s2(zeta), Z_omega(zeta)
+        ]
+        for value in evals:
+            transcript.append(value)
+        v = transcript.get_challenge_scalar()
+
+        # ROUND 5 — W_zeta as the shared weighted combination, then the two
+        # opening divisions
+        weights, const1, const2 = self._linearization_weights(
+            beta, gamma, alpha, zeta, v, evals, PI(zeta)
+        )
+        basis = (
+            [pk.selector_poly[k] for k in SELECTOR_KEYS]
+            + [Z, s3, T_lo, T_mid, T_hi, A, B, C, s1, s2]
+        )
+        numerator = Polynomial([const1], p)
+        for weight, poly in zip(weights, basis):
+            numerator += poly * weight
+
+        W_zeta, rem1 = numerator / Polynomial([(-zeta) % p, 1], p)
+        zeta_omega = zeta * self._roots[1] % p
+        W_zeta_omega, rem2 = (Z + const2) / Polynomial([(-zeta_omega) % p, 1], p)
+        if not (rem1.is_zero() and rem2.is_zero()):
+            raise AssertionError("opening quotient remainder is non-zero")
 
         return Proof(
-            tau_a,
-            tau_b,
-            tau_c,
-            tau_z,
-            tau_T_lo,
-            tau_T_mid,
-            tau_T_hi,
-            tau_W_zeta,
-            tau_W_zeta_omega,
-            zeta_A,
-            zeta_B,
-            zeta_C,
-            zeta_sigma1,
-            zeta_sigma2,
-            zeta_Z_omega,
+            *commit_abc, commit_z, *commit_t,
+            commit(W_zeta), commit(W_zeta_omega), *evals,
         )
 
-    def __recompute_challenges(self, proof: Proof, public_input: dict):
+    # -- verifier ------------------------------------------------------------
+
+    def _replay_challenges(self, proof: Proof, public_input: dict):
         transcript = FiatShamirTranscript(field=self.order)
-
-        tau_QL = self.verifying_key.tau_selector_poly["L"]
-        tau_QR = self.verifying_key.tau_selector_poly["R"]
-        tau_QO = self.verifying_key.tau_selector_poly["O"]
-        tau_QM = self.verifying_key.tau_selector_poly["M"]
-        tau_QC = self.verifying_key.tau_selector_poly["C"]
-        tau_sigma1 = self.verifying_key.tau_permutation_poly[0]
-        tau_sigma2 = self.verifying_key.tau_permutation_poly[1]
-        tau_sigma3 = self.verifying_key.tau_permutation_poly[2]
-
-        transcript.append(tau_QL)
-        transcript.append(tau_QR)
-        transcript.append(tau_QO)
-        transcript.append(tau_QM)
-        transcript.append(tau_QC)
-        transcript.append(tau_sigma1)
-        transcript.append(tau_sigma2)
-        transcript.append(tau_sigma3)
-
-        for _, v in public_input.items():
-            transcript.append(v)
+        for key in SELECTOR_KEYS:
+            transcript.append(self.verifying_key.tau_selector_poly[key])
+        for point in self.verifying_key.tau_permutation_poly:
+            transcript.append(point)
+        for value in public_input.values():
+            transcript.append(value)
 
         transcript.append(proof.tau_a)
         transcript.append(proof.tau_b)
@@ -536,124 +469,100 @@ class Plonk:
         transcript.append(proof.tau_t_hi)
         zeta = transcript.get_challenge_scalar()
 
-        transcript.append(proof.zeta_a)
-        transcript.append(proof.zeta_b)
-        transcript.append(proof.zeta_c)
-        transcript.append(proof.zeta_sigma1)
-        transcript.append(proof.zeta_sigma2)
-        transcript.append(proof.zeta_omega)
+        for value in (proof.zeta_a, proof.zeta_b, proof.zeta_c,
+                      proof.zeta_sigma1, proof.zeta_sigma2, proof.zeta_omega):
+            transcript.append(value)
         v = transcript.get_challenge_scalar()
 
         transcript.append(proof.tau_W_zeta)
         transcript.append(proof.tau_W_zeta_omega)
         u = transcript.get_challenge_scalar()
-
         return beta, gamma, alpha, zeta, v, u
 
     def verify(self, proof: Proof, public_input: dict):
-        """Verify proof by providing public witness"""
-        assert self.verifying_key, "VerifyingKey has not been generated"
+        """Verify a proof against the public inputs."""
+        if not self.verifying_key:
+            raise RuntimeError("VerifyingKey has not been generated")
+        vk = self.verifying_key
+        p = self.order
+        n = vk.n
 
-        n = self.verifying_key.n
-
-        tau_QL = self.verifying_key.tau_selector_poly["L"]
-        tau_QR = self.verifying_key.tau_selector_poly["R"]
-        tau_QO = self.verifying_key.tau_selector_poly["O"]
-        tau_QM = self.verifying_key.tau_selector_poly["M"]
-        tau_QC = self.verifying_key.tau_selector_poly["C"]
-        tau_sigma1 = self.verifying_key.tau_permutation_poly[0]
-        tau_sigma2 = self.verifying_key.tau_permutation_poly[1]
-        tau_sigma3 = self.verifying_key.tau_permutation_poly[2]
-
-        beta, gamma, alpha, zeta, v, u = self.__recompute_challenges(
+        beta, gamma, alpha, zeta, v, u = self._replay_challenges(
             proof, public_input
         )
+        omega = self._roots[1] if self._roots else get_evaluation_point(n, 1, p)
 
-        k1 = 2
-        k2 = 3
+        zh_zeta = evaluate_vanishing_polynomial(n, zeta, p)
+        l1_zeta = barycentric_eval(n, {0: 1}, zeta, p)
+        pi_zeta = barycentric_eval(n, public_input, zeta, p)
+        alpha2 = alpha * alpha % p
 
-        if self._roots:
-            omega = self._roots[1]
-        else:
-            omega = get_evaluation_point(n, 1, self.order)
-
-        Zh_zeta = evaluate_vanishing_polynomial(n, zeta, self.order)
-        L1_zeta = barycentric_eval(n, {0: 1}, zeta, self.order)
-        PI_zeta = barycentric_eval(n, public_input, zeta, self.order)
-
-        r0 = (
-            PI_zeta
-            - L1_zeta * pow(alpha, 2, self.order)
-            - (proof.zeta_a + beta * proof.zeta_sigma1 + gamma)
+        gate_den = (
+            (proof.zeta_a + beta * proof.zeta_sigma1 + gamma)
             * (proof.zeta_b + beta * proof.zeta_sigma2 + gamma)
-            * (proof.zeta_c + gamma)
-            * proof.zeta_omega
-            * alpha
-        ) % self.order
+        ) % p
+        r0 = (
+            pi_zeta
+            - l1_zeta * alpha2
+            - gate_den * (proof.zeta_c + gamma) * proof.zeta_omega * alpha
+        ) % p
 
+        gate_nom = (
+            (proof.zeta_a + beta * zeta + gamma)
+            * (proof.zeta_b + beta * K1 * zeta + gamma)
+            * (proof.zeta_c + beta * K2 * zeta + gamma)
+        ) % p
+
+        sel = vk.tau_selector_poly
         tau_D = (
-            (proof.zeta_a * proof.zeta_b * tau_QM)
-            + (proof.zeta_a * tau_QL)
-            + (proof.zeta_b * tau_QR)
-            + (proof.zeta_c * tau_QO)
-            + tau_QC
-            + (
-                (proof.zeta_a + beta * zeta + gamma)
-                * (proof.zeta_b + beta * k1 * zeta + gamma)
-                * (proof.zeta_c + beta * k2 * zeta + gamma)
-                * alpha
-                + L1_zeta * pow(alpha, 2, self.order)
-                + u
-            )
-            * proof.tau_z
-            - (
-                (proof.zeta_a + beta * proof.zeta_sigma1 + gamma)
-                * (proof.zeta_b + beta * proof.zeta_sigma2 + gamma)
-                * alpha
-                * beta
-                * proof.zeta_omega
-            )
-            * tau_sigma3
-            - Zh_zeta
+            (proof.zeta_a * proof.zeta_b % p) * sel["M"]
+            + proof.zeta_a * sel["L"]
+            + proof.zeta_b * sel["R"]
+            + proof.zeta_c * sel["O"]
+            + sel["C"]
+            + ((gate_nom * alpha + l1_zeta * alpha2 + u) % p) * proof.tau_z
+            - ((gate_den * alpha * beta * proof.zeta_omega) % p)
+            * vk.tau_permutation_poly[2]
+            - zh_zeta
             * (
                 proof.tau_t_lo
-                + pow(zeta, n, self.order) * proof.tau_t_mid
-                + pow(zeta, n * 2, self.order) * proof.tau_t_hi
+                + pow(zeta, n, p) * proof.tau_t_mid
+                + pow(zeta, 2 * n, p) * proof.tau_t_hi
             )
         )
 
+        v_pows = [pow(v, i, p) for i in range(1, 6)]
         tau_F = (
             tau_D
-            + proof.tau_a * v
-            + proof.tau_b * pow(v, 2, self.order)
-            + proof.tau_c * pow(v, 3, self.order)
-            + tau_sigma1 * pow(v, 4, self.order)
-            + tau_sigma2 * pow(v, 5, self.order)
+            + proof.tau_a * v_pows[0]
+            + proof.tau_b * v_pows[1]
+            + proof.tau_c * v_pows[2]
+            + vk.tau_permutation_poly[0] * v_pows[3]
+            + vk.tau_permutation_poly[1] * v_pows[4]
         )
 
-        tau_E = (
-            (
-                -r0
-                + v * proof.zeta_a
-                + pow(v, 2, self.order) * proof.zeta_b
-                + pow(v, 3, self.order) * proof.zeta_c
-                + pow(v, 4, self.order) * proof.zeta_sigma1
-                + pow(v, 5, self.order) * proof.zeta_sigma2
-                + u * proof.zeta_omega
+        e_scalar = (
+            -r0
+            + sum(
+                w * e
+                for w, e in zip(
+                    v_pows,
+                    (proof.zeta_a, proof.zeta_b, proof.zeta_c,
+                     proof.zeta_sigma1, proof.zeta_sigma2),
+                )
             )
-            % self.order
-        ) * self.E.G1()
+            + u * proof.zeta_omega
+        ) % p
+        tau_E = e_scalar * self.E.G1()
 
         lhs = self.E.pairing(
-            proof.tau_W_zeta + u * proof.tau_W_zeta_omega, self.verifying_key.tau_g2
+            proof.tau_W_zeta + u * proof.tau_W_zeta_omega, vk.tau_g2
         )
-
         rhs = self.E.pairing(
             zeta * proof.tau_W_zeta
-            + (u * zeta * omega) * proof.tau_W_zeta_omega
+            + (u * zeta * omega % p) * proof.tau_W_zeta_omega
             + tau_F
             - tau_E,
             self.E.G2(),
         )
-
         return lhs == rhs

@@ -1,151 +1,60 @@
 """PlonK wire formats (Proof / ProvingKey / VerifyingKey).
 
 Byte-format parity with /root/reference/python/zksnake/plonk/serialization.py:
-Proof = 9 compressed points + 6 32-byte LE scalars; PK = tau_g1 vector +
-8 commitment points + 17 LE length-prefixed scalar vectors; VK = n + [tau]_2 +
-5 selector + 3 permutation commitments.
+Proof = 9 compressed points + 6 32-byte LE scalars; PK = length-prefixed
+tau_g1 vector + 8 commitment points + 17 LE length-prefixed scalar vectors
+(5 selector polys, 3 permutation polys, 3 identity polys, 5 selector eval
+tables, L1 evals); VK = n (u64) + [tau]_2 + the 8 commitment points.
+Implemented on the shared ByteReader/ByteWriter codec.
 """
 
+from ..ecc import EllipticCurve
 from ..polynomial import Polynomial
-from ..utils import split_list
-from ..ecc import CurvePointSize, EllipticCurve
+from ..wireformat import ByteReader, ByteWriter
+
+SELECTOR_KEYS = ("L", "R", "O", "M", "C")
+
+_PROOF_POINTS = (
+    "tau_a", "tau_b", "tau_c", "tau_z",
+    "tau_t_lo", "tau_t_mid", "tau_t_hi",
+    "tau_W_zeta", "tau_W_zeta_omega",
+)
+_PROOF_SCALARS = (
+    "zeta_a", "zeta_b", "zeta_c", "zeta_sigma1", "zeta_sigma2", "zeta_omega"
+)
 
 
 class Proof:
-
-    def __init__(
-        self,
-        tau_a,
-        tau_b,
-        tau_c,
-        tau_z,
-        tau_t_lo,
-        tau_t_mid,
-        tau_t_hi,
-        tau_W_zeta,
-        tau_W_zeta_omega,
-        zeta_a,
-        zeta_b,
-        zeta_c,
-        zeta_sigma1,
-        zeta_sigma2,
-        zeta_omega,
-    ):
-        self.tau_a = tau_a
-        self.tau_b = tau_b
-        self.tau_c = tau_c
-        self.tau_z = tau_z
-        self.tau_t_lo = tau_t_lo
-        self.tau_t_mid = tau_t_mid
-        self.tau_t_hi = tau_t_hi
-        self.tau_W_zeta = tau_W_zeta
-        self.tau_W_zeta_omega = tau_W_zeta_omega
-        self.zeta_a = zeta_a
-        self.zeta_b = zeta_b
-        self.zeta_c = zeta_c
-        self.zeta_sigma1 = zeta_sigma1
-        self.zeta_sigma2 = zeta_sigma2
-        self.zeta_omega = zeta_omega
-
-    @classmethod
-    def from_bytes(cls, s: bytes, crv="BN254"):
-        """Parse Proof from serialized bytes"""
-        E = EllipticCurve(crv)
-
-        n = CurvePointSize[crv].value
-        total_points = n * 9
-        total_scalars = 32 * 6
-        assert (
-            len(s) == total_points + total_scalars
-        ), f"Length of the Proof must equal {total_points + total_scalars} bytes"
-
-        ax = s[:n]
-        bx = s[n : n * 2]
-        cx = s[n * 2 : n * 3]
-        zx = s[n * 3 : n * 4]
-        tlox = s[n * 4 : n * 5]
-        tmix = s[n * 5 : n * 6]
-        thix = s[n * 6 : n * 7]
-        wzx = s[n * 7 : n * 8]
-        wzox = s[n * 8 : n * 9]
-
-        scalars = split_list(s[n * 9 :], 32)
-
-        tau_a = E.from_hex(ax.hex())
-        tau_b = E.from_hex(bx.hex())
-        tau_c = E.from_hex(cx.hex())
-        tau_z = E.from_hex(zx.hex())
-        tau_t_lo = E.from_hex(tlox.hex())
-        tau_t_mid = E.from_hex(tmix.hex())
-        tau_t_hi = E.from_hex(thix.hex())
-        tau_w_zeta = E.from_hex(wzx.hex())
-        tau_w_zeta_omega = E.from_hex(wzox.hex())
-
-        zeta_a = int.from_bytes(scalars[0], "little")
-        zeta_b = int.from_bytes(scalars[1], "little")
-        zeta_c = int.from_bytes(scalars[2], "little")
-        zeta_sigma1 = int.from_bytes(scalars[3], "little")
-        zeta_sigma2 = int.from_bytes(scalars[4], "little")
-        zeta_omega = int.from_bytes(scalars[5], "little")
-
-        return Proof(
-            tau_a,
-            tau_b,
-            tau_c,
-            tau_z,
-            tau_t_lo,
-            tau_t_mid,
-            tau_t_hi,
-            tau_w_zeta,
-            tau_w_zeta_omega,
-            zeta_a,
-            zeta_b,
-            zeta_c,
-            zeta_sigma1,
-            zeta_sigma2,
-            zeta_omega,
-        )
+    def __init__(self, *values):
+        names = _PROOF_POINTS + _PROOF_SCALARS
+        if len(values) != len(names):
+            raise TypeError(f"Proof takes {len(names)} arguments")
+        for name, value in zip(names, values):
+            setattr(self, name, value)
 
     def to_bytes(self) -> bytes:
-        """Return bytes representation of the Proof"""
-        points = bytes(
-            self.tau_a.to_bytes()
-            + self.tau_b.to_bytes()
-            + self.tau_c.to_bytes()
-            + self.tau_z.to_bytes()
-            + self.tau_t_lo.to_bytes()
-            + self.tau_t_mid.to_bytes()
-            + self.tau_t_hi.to_bytes()
-            + self.tau_W_zeta.to_bytes()
-            + self.tau_W_zeta_omega.to_bytes()
-        )
+        w = ByteWriter()
+        for name in _PROOF_POINTS:
+            w.point(getattr(self, name))
+        for name in _PROOF_SCALARS:
+            w.scalar(getattr(self, name))
+        return w.getvalue()
 
-        scalar = (
-            self.zeta_a.to_bytes(32, "little")
-            + self.zeta_b.to_bytes(32, "little")
-            + self.zeta_c.to_bytes(32, "little")
-            + self.zeta_sigma1.to_bytes(32, "little")
-            + self.zeta_sigma2.to_bytes(32, "little")
-            + self.zeta_omega.to_bytes(32, "little")
-        )
-
-        return points + scalar
+    @classmethod
+    def from_bytes(cls, raw: bytes, crv="BN254"):
+        r = ByteReader(raw, crv)
+        expect = 9 * r.g1_len + 6 * 32
+        if len(raw) != expect:
+            raise ValueError(f"Length of the Proof must equal {expect} bytes")
+        points = [r.g1() for _ in _PROOF_POINTS]
+        scalars = [r.scalar() for _ in _PROOF_SCALARS]
+        return cls(*points, *scalars)
 
 
 class ProvingKey:
-    def __init__(
-        self,
-        n,
-        tau_G1,
-        selector_poly,
-        selector_eval,
-        permutation_poly,
-        identity_poly,
-        tau_selector,
-        tau_permutation,
-        lagrange_evals,
-        curve: str = "BN254",
-    ):
+    def __init__(self, n, tau_G1, selector_poly, selector_eval,
+                 permutation_poly, identity_poly, tau_selector,
+                 tau_permutation, lagrange_evals, curve: str = "BN254"):
         self.E = EllipticCurve(curve)
         self.order = self.E.order
         self.n = n
@@ -154,153 +63,60 @@ class ProvingKey:
         self.selector_eval = selector_eval
         self.permutation_poly = permutation_poly
         self.identity_poly = identity_poly
-
         self.tau_selector_poly = tau_selector
         self.tau_permutation_poly = tau_permutation
-
         self.lagrange_evals = lagrange_evals
 
-    @classmethod
-    def from_bytes(cls, s: bytes, crv="BN254"):
-        """Construct ProvingKey from bytes"""
-        E = EllipticCurve(crv)
-        n = CurvePointSize[crv].value
-
-        tau_g1 = []
-        length = int.from_bytes(s[:8], "little")
-        points = split_list(s[8 : 8 + length * n], n)
-        for point in points:
-            tau_g1.append(E.from_hex(point.hex()))
-
-        s = s[8 + length * n :]
-
-        tau_selector_poly = {}
-        selector_polys = []
-        tau_permutation_poly = []
-        for _ in range(5):
-            point = s[:n]
-            s = s[n:]
-            selector_polys.append(E.from_hex(point.hex()))
-
-        tau_selector_poly = {
-            "L": selector_polys[0],
-            "R": selector_polys[1],
-            "O": selector_polys[2],
-            "M": selector_polys[3],
-            "C": selector_polys[4],
-        }
-
-        for _ in range(3):
-            point = s[:n]
-            s = s[n:]
-            tau_permutation_poly.append(E.from_hex(point.hex()))
-
-        contents = []
-        n = 32
-        while len(s) > 0:
-            length = int.from_bytes(s[:8], "little")
-            raw_bytes = split_list(s[8 : 8 + length * n], n)
-            contents.append([])
-            for b in raw_bytes:
-                scalars = int.from_bytes(b, "little")
-                contents[-1].append(scalars)
-
-            s = s[8 + length * n :]
-
-        assert len(contents) == 17, "Malformed ProvingKey structure"
-
-        domain = len(contents[0])
-
-        selector_poly = {
-            "L": Polynomial(contents[0], E.order),
-            "R": Polynomial(contents[1], E.order),
-            "O": Polynomial(contents[2], E.order),
-            "M": Polynomial(contents[3], E.order),
-            "C": Polynomial(contents[4], E.order),
-        }
-
-        permutation_poly = [
-            Polynomial(contents[5], E.order),
-            Polynomial(contents[6], E.order),
-            Polynomial(contents[7], E.order),
-        ]
-
-        identity_poly = [
-            Polynomial(contents[8], E.order),
-            Polynomial(contents[9], E.order),
-            Polynomial(contents[10], E.order),
-        ]
-
-        selector_evals = {
-            "L": contents[11],
-            "R": contents[12],
-            "O": contents[13],
-            "M": contents[14],
-            "C": contents[15],
-        }
-
-        lagrange_evals = contents[16]
-
-        return ProvingKey(
-            domain,
-            tau_g1,
-            selector_poly,
-            selector_evals,
-            permutation_poly,
-            identity_poly,
-            tau_selector_poly,
-            tau_permutation_poly,
-            lagrange_evals,
-            crv,
-        )
-
     def to_bytes(self) -> bytes:
-        """Return bytes representation of the ProvingKey"""
-        s = b""
-        int_bytesize = 32
-
-        s += int.to_bytes(len(self.tau_g1), 8, "little")
-        for t in self.tau_g1:
-            s += bytes(t.to_bytes())
-
-        for _, point in self.tau_selector_poly.items():
-            s += bytes(point.to_bytes())
-
+        w = ByteWriter()
+        w.point_vec(self.tau_g1)
+        for key in SELECTOR_KEYS:
+            w.point(self.tau_selector_poly[key])
         for point in self.tau_permutation_poly:
-            s += bytes(point.to_bytes())
+            w.point(point)
+        coeff_vectors = (
+            [self.selector_poly[k].coeffs() for k in SELECTOR_KEYS]
+            + [poly.coeffs() for poly in self.permutation_poly]
+            + [poly.coeffs() for poly in self.identity_poly]
+            + [self.selector_eval[k] for k in SELECTOR_KEYS]
+            + [self.lagrange_evals]
+        )
+        for vec in coeff_vectors:
+            w.scalar_vec(vec)
+        return w.getvalue()
 
-        for _, poly in self.selector_poly.items():
-            s += int.to_bytes(len(poly.coeffs()), 8, "little")
-            for coeff in poly.coeffs():
-                s += int.to_bytes(coeff, int_bytesize, "little")
+    @classmethod
+    def from_bytes(cls, raw: bytes, crv="BN254"):
+        r = ByteReader(raw, crv)
+        tau_g1 = r.g1_vec()
+        tau_selector = {k: r.g1() for k in SELECTOR_KEYS}
+        tau_permutation = [r.g1() for _ in range(3)]
 
-        for poly in self.permutation_poly:
-            s += int.to_bytes(len(poly.coeffs()), 8, "little")
-            for coeff in poly.coeffs():
-                s += int.to_bytes(coeff, int_bytesize, "little")
+        vectors = []
+        while r.remaining():
+            vectors.append(r.scalar_vec())
+        if len(vectors) != 17:
+            raise ValueError("Malformed ProvingKey structure")
 
-        for poly in self.identity_poly:
-            s += int.to_bytes(len(poly.coeffs()), 8, "little")
-            for coeff in poly.coeffs():
-                s += int.to_bytes(coeff, int_bytesize, "little")
+        order = EllipticCurve(crv).order
+        selector_poly = {
+            k: Polynomial(vectors[i], order) for i, k in enumerate(SELECTOR_KEYS)
+        }
+        permutation_poly = [Polynomial(v, order) for v in vectors[5:8]]
+        identity_poly = [Polynomial(v, order) for v in vectors[8:11]]
+        selector_eval = {k: vectors[11 + i] for i, k in enumerate(SELECTOR_KEYS)}
+        lagrange_evals = vectors[16]
 
-        for _, evals in self.selector_eval.items():
-            s += int.to_bytes(len(evals), 8, "little")
-            for e in evals:
-                s += int.to_bytes(e, int_bytesize, "little")
-
-        s += int.to_bytes(len(self.lagrange_evals), 8, "little")
-        for e in self.lagrange_evals:
-            s += int.to_bytes(e, int_bytesize, "little")
-
-        return s
+        return cls(
+            len(vectors[0]), tau_g1, selector_poly, selector_eval,
+            permutation_poly, identity_poly, tau_selector, tau_permutation,
+            lagrange_evals, crv,
+        )
 
 
 class VerifyingKey:
-
-    def __init__(
-        self, n, tau_G2, tau_selector_poly, tau_permutation_poly, curve: str = "BN254"
-    ):
+    def __init__(self, n, tau_G2, tau_selector_poly, tau_permutation_poly,
+                 curve: str = "BN254"):
         self.E = EllipticCurve(curve)
         self.order = self.E.order
         self.n = n
@@ -308,51 +124,21 @@ class VerifyingKey:
         self.tau_selector_poly = tau_selector_poly
         self.tau_permutation_poly = tau_permutation_poly
 
-    @classmethod
-    def from_bytes(cls, s: bytes, crv="BN254"):
-        """Construct VerifyingKey from bytes"""
-        E = EllipticCurve(crv)
-        n = CurvePointSize[crv].value
-
-        domain = int.from_bytes(s[:8], "little")
-        s = s[8:]
-
-        tau_g2 = E.from_hex(s[: n * 2].hex())
-        s = s[n * 2 :]
-
-        tau_selector_poly = {}
-        selector_polys = []
-        tau_permutation_poly = []
-        for _ in range(5):
-            point = s[:n]
-            s = s[n:]
-            selector_polys.append(E.from_hex(point.hex()))
-
-        tau_selector_poly = {
-            "L": selector_polys[0],
-            "R": selector_polys[1],
-            "O": selector_polys[2],
-            "M": selector_polys[3],
-            "C": selector_polys[4],
-        }
-
-        for _ in range(3):
-            point = s[:n]
-            s = s[n:]
-            tau_permutation_poly.append(E.from_hex(point.hex()))
-
-        return VerifyingKey(domain, tau_g2, tau_selector_poly, tau_permutation_poly, crv)
-
     def to_bytes(self) -> bytes:
-        """Return bytes representation of the VerifyingKey"""
-        s = b""
-        s += int.to_bytes(self.n, 8, "little")
-        s += bytes(self.tau_g2.to_bytes())
-
-        for _, point in self.tau_selector_poly.items():
-            s += bytes(point.to_bytes())
-
+        w = ByteWriter()
+        w.u64(self.n)
+        w.point(self.tau_g2)
+        for key in SELECTOR_KEYS:
+            w.point(self.tau_selector_poly[key])
         for point in self.tau_permutation_poly:
-            s += bytes(point.to_bytes())
+            w.point(point)
+        return w.getvalue()
 
-        return s
+    @classmethod
+    def from_bytes(cls, raw: bytes, crv="BN254"):
+        r = ByteReader(raw, crv)
+        n = r.u64()
+        tau_g2 = r.g2()
+        tau_selector = {k: r.g1() for k in SELECTOR_KEYS}
+        tau_permutation = [r.g1() for _ in range(3)]
+        return cls(n, tau_g2, tau_selector, tau_permutation, crv)

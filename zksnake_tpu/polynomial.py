@@ -614,10 +614,23 @@ class SparseMultilinearPolynomial:
         return self.partial_evaluate(points).evals.get(0, 0)
 
     def partial_evaluate(self, partial_points):
-        """Fix the first len(partial_points) variables (variable 0 = LSB)."""
+        """Fix the first len(partial_points) variables (variable 0 = LSB).
+
+        Large dense tables dispatch to the device strided fold
+        (backend/mle.py); sparse ones keep the O(nnz) host walk."""
         p = self.p
         evals = self.evals
         nv = self.num_vars
+
+        from .backend import mle as _dev_mle
+
+        k = len(partial_points)
+        if _dev_mle.should_use_device(nv, len(evals), k):
+            folded = _dev_mle.partial_evaluate_device(p, nv, evals, partial_points)
+            return self._wrap(
+                nv - k, {i: v for i, v in enumerate(folded) if v}
+            )
+
         for r in partial_points:
             r = int(r) % p
             new = {}
