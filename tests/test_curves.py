@@ -73,3 +73,24 @@ def test_from_x():
     Q = cls.from_x(P.x)
     assert Q.x == P.x
     assert Q in (P, -P)
+
+
+def test_bls12_381_hash_to_curve_rfc9380_vectors():
+    """WB suite parity with arkworks: RFC 9380 BLS12381G1_XMD:SHA-256_SSWU_RO_
+    test vectors (the vectors arkworks' WBMap is itself tested against)."""
+    cls = ec_bls12_381.PointG1
+    dst = b"QUUX-V01-CS02-with-BLS12381G1_XMD:SHA-256_SSWU_RO_"
+    vectors = {
+        b"": (
+            0x052926ADD2207B76CA4FA57A8734416C8DC95E24501772C814278700EED6D1E4E8CF62D9C09DB0FAC349612B759E79A1,
+            0x08BA738453BFED09CB546DBB0783DBB3A5F1F566ED67BB6BE0E8C67E2E81A4CC68EE29813BB7994998F3EAE0C9C6A265,
+        ),
+        b"abc": (
+            0x03567BC5EF9C690C2AB2ECDF6A96EF1C139CC0B2F284DCA0A9A7943388A49A3AEE664BA5379A7655D3C68900BE2F6903,
+            0x0B9C15F3FE6E5CF4211F346271D7B01C8F3B28BE689C8429C85B67AF215533311F0B8DFAAA154FA6B88176C229F2885D,
+        ),
+    }
+    for msg, (x, y) in vectors.items():
+        p = cls.hash_to_curve(dst, msg)
+        assert (p.x, p.y) == (x, y)
+        assert p.in_subgroup()

@@ -4,13 +4,13 @@ Parity target: reference uses `bn254_hash2curve::HashToG1` for BN254 (RFC 9380
 SVDW suite) and arkworks `MapToCurveBasedHasher<.., WBMap>` for BLS12-381
 (/root/reference/src/bn254/curve.rs:154-165, src/bls12_381/curve.rs:157-175).
 
-We implement expand_message_xmd(SHA-256) + hash_to_field + the Shallue-van de
-Woestijne map for both curves. NOTE: for BLS12-381 arkworks uses the SSWU/WB
-(11-isogeny) suite; our SVDW construction is a valid RFC 9380 non-uniform...
-rather: a valid RO hash-to-curve but produces different points than the WB
-suite, so BLS12-381 IPA/bulletproof transcripts are self-consistent within
-this library but not byte-identical to the reference's. BN254 follows the
-same SVDW suite as the reference crate.
+We implement expand_message_xmd(SHA-256) + hash_to_field + per-curve maps:
+SVDW for BN254 (the `bn254_hash2curve` crate's suite) and the WB suite for
+BLS12-381 G1 — simplified SSWU onto the 11-isogenous curve E' followed by
+the isogeny map to E and fast cofactor clearing by h_eff = 1 - x (RFC 9380
+8.8.1), matching arkworks' WBMap bit-for-bit. The isogeny constants are
+derived, not transcribed: see scripts/derive_iso11.py and
+_iso11_bls12_381.py.
 """
 
 import hashlib
@@ -140,17 +140,78 @@ def _map_to_curve_svdw(u, curve):
     return x, y
 
 
+# --- BLS12-381 G1 WB suite: simplified SSWU on E' + 11-isogeny to E ---
+
+# SSWU-friendly curve E': y^2 = x^3 + A'x + B' (RFC 9380 8.8.1; validated by
+# the group-order assertion in scripts/derive_iso11.py)
+_BLS_SSWU_A = 0x144698A3B8E9433D693A02C96D4982B0EA985383EE66A8D8E8981AEFD881AC98936F8DA0E0F97F5CF428082D584C1D
+_BLS_SSWU_B = 0x12E2908D11688030018B12E8753EEE3B2016C1F0F24F4070A0B9C14FCEF35EF55A23215A316CEAA5D1CC48E98E172BE0
+_BLS_SSWU_Z = 11
+# fast cofactor clearing multiplier h_eff = 1 - x_BLS (arkworks G1 clear_cofactor)
+_BLS_H_EFF = 0xD201000000010001
+
+
+def _map_to_curve_sswu_bls(u, p):
+    """Simplified SSWU (RFC 9380 6.6.2) onto E'; returns affine (x', y')."""
+    A, B, Z = _BLS_SSWU_A, _BLS_SSWU_B, _BLS_SSWU_Z
+    t1 = Z * u % p * u % p
+    t2 = (t1 * t1 + t1) % p
+    if t2 == 0:
+        x1 = B * pow(Z * A % p, -1, p) % p
+    else:
+        x1 = (p - B) * pow(A, -1, p) % p * ((1 + pow(t2, -1, p)) % p) % p
+    gx1 = (x1 * x1 % p * x1 + A * x1 + B) % p
+    if pow(gx1, (p - 1) // 2, p) != p - 1:
+        x, gx = x1, gx1
+    else:
+        x = t1 * x1 % p
+        gx = (x * x % p * x + A * x + B) % p
+    y = pow(gx, (p + 1) // 4, p)
+    assert y * y % p == gx
+    if _sgn0(u) != _sgn0(y):
+        y = (p - y) % p
+    return x, y
+
+
+def _iso11_map(x, y, p):
+    """Apply the 11-isogeny E' -> E (rational map with derived coefficients)."""
+    from ._iso11_bls12_381 import ISO11_X_DEN, ISO11_X_NUM, ISO11_Y_DEN, ISO11_Y_NUM
+
+    def horner(tab):
+        acc = 0
+        for c in reversed(tab):
+            acc = (acc * x + c) % p
+        return acc
+
+    xn, xd = horner(ISO11_X_NUM), horner(ISO11_X_DEN)
+    yn, yd = horner(ISO11_Y_NUM), horner(ISO11_Y_DEN)
+    return xn * pow(xd, -1, p) % p, y * yn % p * pow(yd, -1, p) % p
+
+
 def hash_to_curve_g1(msg: bytes, dst: bytes, curve, point_cls):
-    """Full RO hash-to-curve: two field elements, two SVDW maps, add, clear cofactor."""
+    """Full RO hash-to-curve: two field elements, two maps, add, clear cofactor.
+
+    BN254: SVDW + multiply by cofactor (=1, no-op) — the reference crate's suite.
+    BLS12-381: SSWU/iso-11 + multiply by h_eff — arkworks WBMap semantics.
+    """
     u = hash_to_field_fq(msg, dst, curve, 2)
-    x0, y0 = _map_to_curve_svdw(u[0], curve)
-    x1, y1 = _map_to_curve_svdw(u[1], curve)
+    if curve.name == "BLS12_381":
+        p = curve.p
+        pts = []
+        for ui in u:
+            xp, yp = _map_to_curve_sswu_bls(ui, p)
+            pts.append(_iso11_map(xp, yp, p))
+        (x0, y0), (x1, y1) = pts
+        h = _BLS_H_EFF
+    else:
+        x0, y0 = _map_to_curve_svdw(u[0], curve)
+        x1, y1 = _map_to_curve_svdw(u[1], curve)
+        h = curve.g1_cofactor
     q0 = point_cls._from_jac((x0, y0, 1))
     q1 = point_cls._from_jac((x1, y1, 1))
     r = q0 + q1
-    h = curve.g1_cofactor
     if h != 1:
-        # scalar mul by the cofactor itself (no mod-r reduction)
+        # scalar mul by the clearing multiplier itself (no mod-r reduction)
         from .point import _jac_scalar_mul
 
         r = point_cls._from_jac(_jac_scalar_mul(point_cls.FIELD, point_cls.B, r._jac, h))
