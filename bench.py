@@ -1,8 +1,18 @@
 """Benchmark entry point (driver contract: prints ONE JSON line).
 
-Metric: BN254 G1 MSM throughput per chip (BASELINE.json north-star metric),
-measured on device-resident points/scalars (the steady-state shape of the
-Groth16 prover hot loop, where proving-key points live on device).
+Headline metric: BN254 G1 MSM throughput per chip (BASELINE.json north-star)
+at 2^20 device-resident points. `detail` carries the rest of BASELINE.md's
+metric set:
+
+  - ntt_2e20_ms:            radix-2 NTT latency over BN254 Fr at n = 2^20
+  - groth16_prove_s:        end-to-end prove wall-clock, synthetic mult-chain
+                            circuit (reference benchmark_groth16.py shape) at
+                            ZKSNAKE_BENCH_G16_LOG2N (default 2^17) constraints
+  - plonk_prove_s:          PlonK prove wall-clock at 2^13 gates
+  - scaling_efficiency_1to8: sharded four-step-NTT wall-clock efficiency on an 8-virtual-
+                            device CPU mesh (t1 / (8 * t8)); bounded above by
+                            physical cores / 8 on this 2-core host — it
+                            validates the collective path, not ICI speedup
 
 vs_baseline: ratio against the host pure-Python bigint MSM measured on the
 same machine (subsampled and extrapolated linearly) — the reference publishes
@@ -10,8 +20,9 @@ no numbers (BASELINE.md), so the self-measured host path is the anchor.
 
 Each measurement attempt runs in its OWN subprocess: a TPU kernel/compile
 failure poisons the device session for the rest of that process, so degraded
-retries must start clean. Attempts degrade (pallas, 2^20) -> (no-pallas,
-2^20) -> smaller sizes; a host-only line is the last resort.
+retries must start clean. MSM attempts degrade (pallas, 2^20) ->
+(no-pallas, 2^20) -> smaller; every failed attempt's stderr tail is kept in
+detail.attempt_errors (round-1 review: never discard the failure).
 """
 
 import json
@@ -22,7 +33,22 @@ import sys
 import time
 
 LOG2N = int(os.environ.get("ZKSNAKE_BENCH_LOG2N", "20"))
+G16_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_G16_LOG2N", "17"))
+PLONK_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_PLONK_LOG2N", "13"))
 HOST_SAMPLE = 1 << 10
+SKIP = set(os.environ.get("ZKSNAKE_BENCH_SKIP", "").split(","))
+
+
+def _sync_pull(x):
+    """Device->host pull of one small leaf: the only trustworthy timing fence
+    through the axon stdio relay (block_until_ready returns early there)."""
+    import numpy as np
+    import jax
+
+    np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+# --------------------------------------------------------------- attempts --
 
 
 def _measure_msm(logn):
@@ -50,16 +76,11 @@ def _measure_msm(logn):
     slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
 
     def run_sync():
-        """One MSM, synced by pulling a result leaf to host: through the
-        axon stdio relay, block_until_ready returns before the computation
-        finishes (measured: a 2^20 MSM 'completed' in 0.5 ms), so a tiny
-        device->host copy is the only trustworthy fence."""
         r = msm_device_raw(gs, P, slimbs)
-        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        _sync_pull(r)
         return r
 
     run_sync()  # compile + warm
-
     t0 = time.time()
     res = run_sync()
     dt = time.time() - t0
@@ -73,18 +94,230 @@ def _measure_msm(logn):
     got = gs.points_from_device(
         jax.tree_util.tree_map(lambda t: t[..., None], res), ec_bn254.PointG1
     )[0]
-    correct = got == want
-    return N / dt, dt, correct
-
-
-def _attempt_main(logn):
-    pts_per_s, dt, ok = _measure_msm(logn)
-    if not ok:
+    if got != want:
         raise AssertionError("device MSM result does not match host oracle")
-    print(
-        "@@RESULT@@"
-        + json.dumps({"pts_per_s": pts_per_s, "dt": dt, "correct": ok})
+    return {"pts_per_s": N / dt, "dt": dt}
+
+
+def _measure_ntt(logn):
+    import jax.numpy as jnp
+    from zksnake_tpu.backend import config as _cfg
+
+    _cfg.jax_available()
+    from zksnake_tpu.backend.field import FieldSpec
+    from zksnake_tpu.backend.ntt import Domain, ntt_device
+    from zksnake_tpu.curves.params import CURVES
+
+    curve = CURVES["BN254"]
+    fr = FieldSpec.get(curve.r)
+    rng = random.Random(0x177)
+    n = 1 << logn
+    dom = Domain.get(curve, n)
+    coeffs = jnp.asarray(
+        fr.to_mont_host([rng.randrange(curve.r) for _ in range(n)])
     )
+    out = ntt_device(dom, coeffs)
+    _sync_pull(out)  # compile + warm
+    t0 = time.time()
+    out = ntt_device(dom, coeffs)
+    _sync_pull(out)
+    dt = time.time() - t0
+    # oracle at a subsample: evaluation at omega^1 must match Horner on host
+    import numpy as np
+
+    got1 = fr.from_mont_host(np.asarray(out)[:, 1:2])[0]
+    want1 = 0
+    om = dom.omega
+    csh = fr.from_mont_host(np.asarray(coeffs))
+    for c in reversed(csh):
+        want1 = (want1 * om + c) % curve.r
+    if got1 != want1:
+        raise AssertionError("device NTT does not match host Horner oracle")
+    return {"ntt_ms": dt * 1e3}
+
+
+def _build_mult_chain(n_power):
+    from zksnake_tpu.arithmetization import ConstraintSystem, R1CS, Var
+    from zksnake_tpu.constant import BN254_SCALAR_FIELD
+
+    inp, out = Var("inp"), Var("out")
+    v = [Var(f"v{i}") for i in range(n_power - 1)]
+    cs = ConstraintSystem(["inp"], ["out"], BN254_SCALAR_FIELD)
+    cs.add_constraint(v[0] == inp * inp)
+    for i in range(1, n_power - 1):
+        cs.add_constraint(v[i] == v[i - 1] * inp)
+    cs.add_constraint(out == v[n_power - 2])
+    cs.set_public(out)
+    r1cs = R1CS(cs)
+    r1cs.compile()
+    pub, priv = r1cs.generate_witness(cs.solve({"inp": 2}))
+    return r1cs, pub, priv
+
+
+def _measure_groth16(logn):
+    from zksnake_tpu.backend import config as _cfg
+
+    _cfg.jax_available()
+    from zksnake_tpu.groth16 import Groth16
+
+    t0 = time.time()
+    r1cs, pub, priv = _build_mult_chain(1 << logn)
+    t_frontend = time.time() - t0
+
+    g16 = Groth16(r1cs, "BN254")
+    t0 = time.time()
+    g16.setup()
+    t_setup = time.time() - t0
+
+    proof = g16.prove(pub, priv)  # warm (compiles cached for second run)
+    t0 = time.time()
+    proof = g16.prove(pub, priv)
+    t_prove = time.time() - t0
+    if not g16.verify(proof, pub):
+        raise AssertionError("Groth16 proof did not verify")
+    return {
+        "groth16_prove_s": t_prove,
+        "groth16_setup_s": t_setup,
+        "groth16_frontend_s": t_frontend,
+        "constraints": 1 << logn,
+    }
+
+
+def _measure_plonk(logn):
+    from zksnake_tpu.backend import config as _cfg
+
+    _cfg.jax_available()
+    from zksnake_tpu.arithmetization.plonkish import Plonkish
+    from zksnake_tpu.plonk import Plonk
+
+    from zksnake_tpu.arithmetization import ConstraintSystem, Var
+    from zksnake_tpu.constant import BN254_SCALAR_FIELD
+
+    n_power = 1 << logn
+    inp, out = Var("inp"), Var("out")
+    v = [Var(f"v{i}") for i in range(n_power - 1)]
+    cs = ConstraintSystem(["inp"], ["out"], BN254_SCALAR_FIELD)
+    cs.add_constraint(v[0] == inp * inp)
+    for i in range(1, n_power - 1):
+        cs.add_constraint(v[i] == v[i - 1] * inp)
+    cs.add_constraint(out == v[n_power - 2])
+    cs.set_public(out)
+    plonkish = Plonkish(cs)
+    plonkish.compile()
+    pub, priv = plonkish.generate_witness(plonkish.solve({"inp": 2}))
+
+    plonk = Plonk(plonkish)
+    plonk.setup()
+    proof = plonk.prove(pub, priv)  # warm
+    t0 = time.time()
+    proof = plonk.prove(pub, priv)
+    t_prove = time.time() - t0
+    if not plonk.verify(proof, pub):
+        raise AssertionError("PlonK proof did not verify")
+    return {"plonk_prove_s": t_prove, "gates": plonk.constraints.length}
+
+
+def _measure_scaling():
+    """Sharded four-step-NTT wall clock on 1 vs 8 virtual CPU devices
+    (collective-path validation; see module docstring for why 2 physical
+    cores bound the number). The NTT is the scaling probe because its graph
+    compiles in seconds on this box — the full-width sharded-Pippenger graph
+    takes >20 min of XLA CPU compile, unusable as a per-round bench."""
+    import jax
+    import jax.numpy as jnp
+    from zksnake_tpu.backend import config as _cfg
+
+    _cfg.jax_available()
+    from zksnake_tpu.backend.field import FieldSpec
+    from zksnake_tpu.backend.ntt import Domain
+    from zksnake_tpu.backend.sharding import (
+        make_mesh,
+        sharded_ntt_fn,
+        fourstep_input_layout,
+    )
+    from zksnake_tpu.curves.params import CURVES
+
+    curve = CURVES["BN254"]
+    fr = FieldSpec.get(curve.r)
+    rng = random.Random(5)
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "need 8 virtual CPU devices"
+
+    n1 = n2 = 1 << 8
+    n = n1 * n2  # 2^16
+    dom = Domain.get(curve, n)
+    coeffs = [rng.randrange(curve.r) for _ in range(n)]
+    x = jnp.asarray(fourstep_input_layout(fr, coeffs, n1, n2))
+
+    times = {}
+    for nd in (1, 8):
+        mesh = make_mesh(n_devices=nd, devices=cpus)
+        fn = jax.jit(sharded_ntt_fn(dom, mesh, n1))
+        r = fn(x)
+        jax.block_until_ready(r)  # CPU backend: block is trustworthy
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(x)
+            jax.block_until_ready(r)
+        times[nd] = (time.time() - t0) / reps
+    eff = times[1] / (8 * times[8])
+    return {
+        "scaling_efficiency_1to8": eff,
+        "sharded_ntt_t1_s": times[1],
+        "sharded_ntt_t8_s": times[8],
+        "physical_cores": os.cpu_count(),
+    }
+
+
+ATTEMPTS = {
+    "msm": lambda arg: _measure_msm(int(arg)),
+    "ntt": lambda arg: _measure_ntt(int(arg)),
+    "groth16": lambda arg: _measure_groth16(int(arg)),
+    "plonk": lambda arg: _measure_plonk(int(arg)),
+    "scaling": lambda arg: _measure_scaling(),
+}
+
+
+def _attempt_main(name, arg):
+    print("@@RESULT@@" + json.dumps(ATTEMPTS[name](arg)))
+
+
+def _run_attempt(name, arg, timeout=3000, env_extra=None, cpu_mesh=False):
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    if cpu_mesh:
+        # pure-CPU jax with 8 virtual devices: drop the axon plugin from
+        # PYTHONPATH and force the cpu platform (env vars work here because
+        # no sitecustomize pre-imports jax without /root/.axon_site on path)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--attempt", name, str(arg)],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out = [l for l in proc.stdout.splitlines() if l.startswith("@@RESULT@@")]
+        if proc.returncode != 0 or not out:
+            return None, (proc.stderr or proc.stdout)[-400:]
+        return json.loads(out[-1][len("@@RESULT@@") :]), None
+    except Exception as e:  # timeout etc.
+        return None, repr(e)[:400]
 
 
 def main():
@@ -100,62 +333,84 @@ def main():
     _host_msm(ec_bn254, hpts, hss)
     host_pts_per_s = HOST_SAMPLE / (time.time() - t0)
 
-    attempts = [
-        (LOG2N, False),
-        (LOG2N, True),
-        (LOG2N - 2, True),
-        (LOG2N - 4, True),
-    ]
-    value = None
-    last_err = ""
-    for logn, no_pallas in attempts:
-        env = dict(os.environ)
-        if no_pallas:
-            env["ZKSNAKE_NO_PALLAS"] = "1"
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__), "--attempt", str(logn)],
-                capture_output=True,
-                text=True,
-                timeout=3000,
-                env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            out = [l for l in proc.stdout.splitlines() if l.startswith("@@RESULT@@")]
-            if proc.returncode != 0 or not out:
-                last_err = (proc.stderr or proc.stdout)[-300:]
-                continue
-            r = json.loads(out[-1][len("@@RESULT@@") :])
-            value = {
-                "metric": f"BN254 G1 MSM points/s/chip (2^{logn}, device-resident)",
-                "value": round(r["pts_per_s"], 1),
-                "unit": "points/s",
-                "vs_baseline": round(r["pts_per_s"] / host_pts_per_s, 2),
-                "detail": {
-                    "msm_seconds": round(r["dt"], 4),
-                    "pallas": not no_pallas,
-                    "host_python_points_per_s": round(host_pts_per_s, 1),
-                    "correct_vs_host_oracle": r["correct"],
-                },
-            }
-            break
-        except Exception as e:
-            last_err = repr(e)[:300]
-            continue
+    detail = {"host_python_points_per_s": round(host_pts_per_s, 1)}
+    errors = {}
 
-    if value is None:
+    # ---- headline MSM (degrading ladder) ----
+    msm = None
+    msm_cfg = None
+    if "msm" not in SKIP:
+        for logn, extra in (
+            (LOG2N, None),
+            (LOG2N, {"ZKSNAKE_NO_PALLAS": "1"}),
+            (LOG2N - 2, {"ZKSNAKE_NO_PALLAS": "1"}),
+            (LOG2N - 4, {"ZKSNAKE_NO_PALLAS": "1"}),
+        ):
+            r, err = _run_attempt("msm", logn, env_extra=extra)
+            if r is not None:
+                msm = r
+                msm_cfg = {"log2n": logn, "pallas": extra is None}
+                break
+            errors[f"msm_2e{logn}_{'nopallas' if extra else 'pallas'}"] = err
+
+    # ---- the rest of the metric set, best effort, isolated ----
+    if "ntt" not in SKIP:
+        r, err = _run_attempt("ntt", LOG2N)
+        if r is not None:
+            detail["ntt_2e%d_ms" % LOG2N] = round(r["ntt_ms"], 2)
+        else:
+            errors["ntt"] = err
+    if "groth16" not in SKIP:
+        r, err = _run_attempt("groth16", G16_LOG2N, timeout=5400)
+        if r is not None:
+            detail["groth16_prove_s"] = round(r["groth16_prove_s"], 3)
+            detail["groth16_setup_s"] = round(r["groth16_setup_s"], 3)
+            detail["groth16_constraints"] = r["constraints"]
+        else:
+            errors["groth16"] = err
+    if "plonk" not in SKIP:
+        r, err = _run_attempt("plonk", PLONK_LOG2N, timeout=5400)
+        if r is not None:
+            detail["plonk_prove_s"] = round(r["plonk_prove_s"], 3)
+            detail["plonk_gates"] = r["gates"]
+        else:
+            errors["plonk"] = err
+    if "scaling" not in SKIP:
+        r, err = _run_attempt("scaling", 0, timeout=3000, cpu_mesh=True)
+        if r is not None:
+            detail["scaling_efficiency_1to8"] = round(r["scaling_efficiency_1to8"], 3)
+            detail["sharded_ntt_t1_s"] = round(r["sharded_ntt_t1_s"], 3)
+            detail["sharded_ntt_t8_s"] = round(r["sharded_ntt_t8_s"], 3)
+        else:
+            errors["scaling"] = err
+
+    if errors:
+        detail["attempt_errors"] = errors
+
+    if msm is not None:
+        detail["msm_seconds"] = round(msm["dt"], 4)
+        detail["pallas"] = msm_cfg["pallas"]
+        detail["correct_vs_host_oracle"] = True
+        value = {
+            "metric": f"BN254 G1 MSM points/s/chip (2^{msm_cfg['log2n']}, device-resident)",
+            "value": round(msm["pts_per_s"], 1),
+            "unit": "points/s",
+            "vs_baseline": round(msm["pts_per_s"] / host_pts_per_s, 2),
+            "detail": detail,
+        }
+    else:
         value = {
             "metric": "BN254 G1 MSM points/s/chip (host fallback)",
             "value": round(host_pts_per_s, 1),
             "unit": "points/s",
             "vs_baseline": 1.0,
-            "detail": {"error": last_err},
+            "detail": detail,
         }
     print(json.dumps(value))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--attempt":
-        _attempt_main(int(sys.argv[2]))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--attempt":
+        _attempt_main(sys.argv[2], sys.argv[3])
     else:
         main()

@@ -322,3 +322,63 @@ class Groth16DeviceProver:
         else:
             out.append(point_cls_g1.identity())
         return out
+
+    def prove_msms_sharded(
+        self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2, mesh,
+        axis="shards",
+    ):
+        """Multi-chip prove: the five MSMs (the prover's FLOP budget) run
+        data-parallel over the mesh — proving-key point tensors and QAP
+        output scalars sharded along n, one all_gather of single-point
+        partials per MSM. The QAP evaluation (SpMV/NTTs, a small fraction of
+        the work) stays replicated. G2's B-MSM shards identically to G1.
+        """
+        from ..metrics import phase
+        from .sharding import pad_msm_operands, sharded_msm_fn
+
+        fr = self.fr
+        g1 = get_group_spec(self.curve, 1)
+        g2 = get_group_spec(self.curve, 2)
+        ndev = mesh.shape[axis]
+        with phase("groth16.prove.qap", items=self.n):
+            u, v, h = self.evaluate_witness_device(witness_ints)
+        pkd = self.pk_device(pk)
+
+        msm_g1 = sharded_msm_fn(g1, mesh, axis)
+        msm_g2 = sharded_msm_fn(g2, mesh, axis)
+
+        def trunc(Pts, k):
+            return jax.tree_util.tree_map(lambda t: t[..., :k], Pts)
+
+        def run(fn, gs, Pts, slimbs):
+            Pp, sp = pad_msm_operands(gs, Pts, slimbs, ndev)
+            return fn(Pp, sp)
+
+        n = self.n
+        with phase("groth16.prove.msm_sharded", items=4 * n):
+            msm_a = run(msm_g1, g1, trunc(pkd["tau1"], n), u)
+            msm_b1 = run(msm_g1, g1, trunc(pkd["tau1"], n), v)
+            msm_b2 = run(msm_g2, g2, trunc(pkd["tau2"], n), v)
+            msm_hz = run(msm_g1, g1, trunc(pkd["target1"], n), h)
+
+        def to_host(gs, res, cls):
+            return gs.points_from_device(
+                jax.tree_util.tree_map(lambda t: t[..., None], res), cls
+            )[0]
+
+        out = [to_host(g1, msm_a, point_cls_g1), to_host(g1, msm_b1, point_cls_g1)]
+        out.append(to_host(g2, msm_b2, point_cls_g2))
+        out.append(to_host(g1, msm_hz, point_cls_g1))
+        if len(private_witness) > 0:
+            priv = jnp.asarray(
+                np.ascontiguousarray(
+                    ints_to_limbs(
+                        [int(x) % fr.p for x in private_witness], fr.nl
+                    ).T
+                )
+            )
+            msm_k = run(msm_g1, g1, pkd["kdelta1"], priv)
+            out.append(to_host(g1, msm_k, point_cls_g1))
+        else:
+            out.append(point_cls_g1.identity())
+        return out

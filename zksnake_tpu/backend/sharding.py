@@ -48,44 +48,72 @@ def make_mesh(n_devices=None, devices=None, axis="shards"):
 
 def sharded_msm_fn(gs, mesh, axis="shards"):
     """Returns a jittable fn(P, slimbs) computing the full MSM with points
-    and scalars sharded over `axis`. Output is replicated (one point)."""
+    and scalars sharded over `axis`. Output is replicated (one point).
 
-    def local_msm(Px, Py, Pz, slimbs):
+    Group-generic: point coordinates are pytrees — (NL, n) arrays for G1,
+    pairs of them for G2 (Fq2) — and the P(None, axis) spec applies as a
+    pytree prefix to every leaf, so G2's B-MSM (reference curve.rs:375-392
+    treats G2 identically) scales out exactly like G1."""
+
+    def local_msm(Pts, slimbs):
         n_local = slimbs.shape[1]
         nbits = slimbs.shape[0] * 16
         if n_local >= 64:
             # per-shard Pippenger (same fused kernel as single-chip)
-            partial = msm_pippenger(
-                gs, (Px, Py, Pz), slimbs, _pick_window(n_local)
-            )
+            partial = msm_pippenger(gs, Pts, slimbs, _pick_window(n_local))
         else:
-            acc = _double_and_add(gs, (Px, Py, Pz), slimbs, nbits)
+            acc = _double_and_add(gs, Pts, slimbs, nbits)
             partial = _tree_reduce(gs, acc, n_local)
-        # combine partials: all_gather (tiny: one point each) + local fold
+        # combine partials: all_gather (tiny: one point each) + local fold.
+        # fori_loop keeps ONE gs.add call site in the graph — an unrolled
+        # D-1-add chain costs minutes of XLA CPU compile (each montmul
+        # instantiation compiles separately; see CLAUDE.md kernel rules).
         gathered = jax.lax.all_gather(partial, axis)  # leaves: (D, nl) etc.
         ndev = mesh.shape[axis]
-        total = jax.tree_util.tree_map(lambda t: t[0], gathered)
-        for d in range(1, ndev):
-            nxt = jax.tree_util.tree_map(lambda t: t[d], gathered)
-            total = gs.add(total, nxt)
-        return total
 
-    if gs.group == 1:
-        in_specs = (P(None, axis), P(None, axis), P(None, axis), P(None, axis))
+        def fold(d, total):
+            nxt = jax.tree_util.tree_map(
+                lambda t: jax.lax.dynamic_index_in_dim(t, d, 0, keepdims=False),
+                gathered,
+            )
+            return gs.add(total, nxt)
 
-        def fn(Pts, slimbs):
-            X, Y, Z = Pts
-            return jax.shard_map(
-                local_msm,
-                mesh=mesh,
-                in_specs=in_specs,
-                out_specs=(P(), P(), P()),
-                check_vma=False,
-            )(X, Y, Z, slimbs)
+        return jax.lax.fori_loop(
+            1, ndev, fold, jax.tree_util.tree_map(lambda t: t[0], gathered)
+        )
 
-        return fn
-    else:
-        raise NotImplementedError("sharded MSM currently targets G1")
+    spec = P(None, axis)
+
+    def fn(Pts, slimbs):
+        return jax.shard_map(
+            local_msm,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=P(),
+            check_vma=False,
+        )(Pts, slimbs)
+
+    return fn
+
+
+def pad_msm_operands(gs, Pts, slimbs, ndev):
+    """Pad an MSM instance so n divides the mesh: identity points (Z = 0)
+    with zero scalars contribute nothing (the mixed adds mask Z = 0 lanes)."""
+    n = slimbs.shape[1]
+    rem = (-n) % ndev
+    if rem == 0:
+        return Pts, slimbs
+    X, Y, Z = Pts
+
+    def padp(t):
+        return jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (rem,), t.dtype)], axis=-1
+        )
+
+    return (
+        jax.tree_util.tree_map(padp, (X, Y, Z)),
+        jnp.concatenate([slimbs, jnp.zeros((slimbs.shape[0], rem), slimbs.dtype)], axis=1),
+    )
 
 
 # ---------------------------------------------------------------- NTT ----

@@ -24,7 +24,10 @@ from .serialization import Proof, ProvingKey, VerifyingKey
 class Groth16:
     """Groth16 over `BN254` or `BLS12_381`, built from a compiled R1CS."""
 
-    def __init__(self, r1cs: R1CS, curve: str = "BN254"):
+    def __init__(self, r1cs: R1CS, curve: str = "BN254", mesh=None):
+        """`mesh` opts into multi-chip proving: a jax.sharding.Mesh (or a
+        backend.config.MeshConfig to build one) over which the prover's five
+        MSMs run data-parallel (backend/sharding.py)."""
         self.E = EllipticCurve(curve)
         self.order = self.E.order
         self.qap = QAP(self.order)
@@ -32,6 +35,17 @@ class Groth16:
         self.proving_key = None
         self.verifying_key = None
         self._device_prover = None
+        self._mesh = None
+        self._mesh_axis = "shards"
+        if mesh is not None:
+            from ..backend.config import MeshConfig
+
+            if isinstance(mesh, MeshConfig):
+                self._mesh_axis = mesh.axis
+                self._mesh = mesh.make_mesh()
+            else:
+                self._mesh = mesh
+                self._mesh_axis = mesh.axis_names[0]
 
     # -- device pipeline -------------------------------------------------
 
@@ -154,10 +168,17 @@ class Groth16:
         dev = self._get_device_prover()
         if dev is not None:
             try:
-                parts = dev.prove_msms(
-                    self.proving_key, full_witness, private_witness,
-                    self.E.curve.PointG1, self.E.curve.PointG2,
-                )
+                if self._mesh is not None:
+                    parts = dev.prove_msms_sharded(
+                        self.proving_key, full_witness, private_witness,
+                        self.E.curve.PointG1, self.E.curve.PointG2,
+                        self._mesh, self._mesh_axis,
+                    )
+                else:
+                    parts = dev.prove_msms(
+                        self.proving_key, full_witness, private_witness,
+                        self.E.curve.PointG1, self.E.curve.PointG2,
+                    )
             except ValueError as exc:
                 raise ValueError("Failed to evaluate with the given witness") from exc
             return self._assemble_proof(*parts, r, s)
