@@ -101,6 +101,15 @@ class FieldSpec:
         return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
 
 
+def _mxu_montmul():
+    """ZKSNAKE_MXU_MONTMUL=1 routes kernel-body Montgomery products to the
+    SOS formulation with MXU matmul reduction (mxu_field) — measured by
+    scripts/bench_montmul.py; the CIOS VPU core is the default."""
+    import os
+
+    return os.environ.get("ZKSNAKE_MXU_MONTMUL", "0") == "1"
+
+
 def _carry_chain(cols, nl):
     """cols: list of nl (...,) tensors -> (nl, ...) normalized limbs (< 2^16).
     Caller guarantees the true value fits nl limbs."""
@@ -187,6 +196,10 @@ def mont_mul(fs, a, b):
             x = x.reshape((nl,) + (1,) * extra + x.shape[1:])
             return jnp.broadcast_to(x, (nl,) + shape)
 
+        if _mxu_montmul():
+            from .mxu_field import mont_mul_mxu_cols
+
+            return mont_mul_mxu_cols(fs, _bc(a), _bc(b), shape)
         return _mont_mul_cols(fs, _bc(a), _bc(b), shape)
     if batch >= (1 << 15):
         if pallas_field.pallas_available():

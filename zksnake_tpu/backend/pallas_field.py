@@ -21,6 +21,25 @@ from .limbs import W, MASK
 BLOCK = 1024
 
 
+def _make_kernel_mxu(nl, p):
+    """Pallas body for the SOS + MXU-reduction formulation (mxu_field):
+    schoolbook on the VPU, both Montgomery-reduction products as byte-
+    Toeplitz matmuls on the MXU. The matrices arrive as kernel inputs
+    (Pallas forbids closure-captured constant arrays)."""
+
+    def kernel(pm_ref, pp_ref, a_ref, b_ref, o_ref):
+        from .field import FieldSpec
+        from .mxu_field import mont_mul_mxu_cols
+
+        fs = FieldSpec.get(p)
+        a = a_ref[...]
+        b = b_ref[...]
+        mats = (pm_ref[...], pp_ref[...])
+        o_ref[...] = mont_mul_mxu_cols(fs, a, b, (a.shape[1],), mats=mats)
+
+    return kernel
+
+
 def _make_kernel(nl, p_limbs, pinv):
     p_list = [int(x) for x in p_limbs]
 
@@ -68,8 +87,41 @@ def _make_kernel(nl, p_limbs, pinv):
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled(nl, p_limbs_key, pinv, interpret):
+def _compiled(nl, p_limbs_key, pinv, interpret, variant="cios"):
     from jax.experimental import pallas as pl
+
+    if variant == "mxu":
+        p = sum(int(x) << (W * i) for i, x in enumerate(p_limbs_key))
+        kernel = _make_kernel_mxu(nl, p)
+
+        from .field import FieldSpec
+        from .mxu_field import reduction_mats_dev
+
+        pmat, ppmat = reduction_mats_dev(FieldSpec.get(p))
+        mat_specs = [
+            pl.BlockSpec(pmat.shape, lambda i: (0, 0)),
+            pl.BlockSpec(ppmat.shape, lambda i: (0, 0)),
+        ]
+
+        @jax.jit
+        def run(a, b):
+            m = a.shape[1]
+            grid = m // BLOCK
+            return pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=mat_specs
+                + [
+                    pl.BlockSpec((nl, BLOCK), lambda i: (0, i)),
+                    pl.BlockSpec((nl, BLOCK), lambda i: (0, i)),
+                ],
+                out_specs=pl.BlockSpec((nl, BLOCK), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((nl, m), jnp.uint32),
+                interpret=interpret,
+                compiler_params=None if interpret else _compiler_params(),
+            )(pmat, ppmat, a, b)
+
+        return run
 
     kernel = _make_kernel(nl, p_limbs_key, pinv)
 
@@ -87,12 +139,29 @@ def _compiled(nl, p_limbs_key, pinv, interpret):
             out_specs=pl.BlockSpec((nl, BLOCK), lambda i: (0, i)),
             out_shape=jax.ShapeDtypeStruct((nl, m), jnp.uint32),
             interpret=interpret,
+            compiler_params=None if interpret else _compiler_params(),
         )(a, b)
 
     return run
 
 
 _STATE = {"checked": False, "on_tpu": False, "in_kernel": False}
+
+
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM budget above the 16MB default: the bucket
+    accumulator's traced mixed-add needs ~4KB/lane of temporaries (measured:
+    63MB at 16384 lanes — the round-1 on-hardware compile failure), and v5e
+    has 128MB of VMEM to spend."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            os.environ.get("ZKSNAKE_VMEM_LIMIT", 100 * 1024 * 1024)
+        )
+    )
 
 
 def _interpret():
@@ -187,6 +256,7 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=_interpret(),
+            compiler_params=None if _interpret() else _compiler_params(),
         )(valid[:, None, :], *point_rounds_leaves)
     finally:
         _STATE["in_kernel"] = False
@@ -292,15 +362,26 @@ def window_accumulate_reduce_pallas(gs, point_rounds_leaves, valid, R, B, c):
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interp,
+            compiler_params=None if interp else _compiler_params(),
         )(valid[:, None, :], *point_rounds_leaves)
     finally:
         _STATE["in_kernel"] = False
     return jax.tree_util.tree_unflatten(treedef, list(outs))
 
 
-def mont_mul_pallas(fs, a, b):
+def mont_mul_pallas(fs, a, b, variant=None):
     """Flattened-batch Montgomery product via the Pallas kernel.
-    a, b: (nl, *batch) broadcastable; returns (nl, *batch)."""
+    a, b: (nl, *batch) broadcastable; returns (nl, *batch).
+    variant: "cios" (VPU, default) or "mxu" (SOS with matmul reduction);
+    ZKSNAKE_MXU_MONTMUL=1 flips the default."""
+    import os
+
+    if variant is None:
+        variant = (
+            "mxu"
+            if os.environ.get("ZKSNAKE_MXU_MONTMUL", "0") == "1"
+            else "cios"
+        )
     nl = fs.nl
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
 
@@ -317,7 +398,9 @@ def mont_mul_pallas(fs, a, b):
         pad = ((0, 0), (0, m_pad - m))
         a = jnp.pad(a, pad)
         b = jnp.pad(b, pad)
-    run = _compiled(nl, tuple(int(x) for x in fs.p_limbs), fs.pinv, _interpret())
+    run = _compiled(
+        nl, tuple(int(x) for x in fs.p_limbs), fs.pinv, _interpret(), variant
+    )
     out = run(a, b)
     if m_pad != m:
         out = out[:, :m]
