@@ -67,6 +67,9 @@ def _measure(variant, logn):
 def main(logn):
     results = {}
     for variant in ("jnp", "pallas", "mxu"):
+        env = dict(os.environ)
+        # repo on the path, axon plugin site KEPT (required for the TPU)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             [
                 sys.executable,
@@ -80,6 +83,7 @@ def main(logn):
             text=True,
             timeout=3300,
             cwd=REPO,
+            env=env,
         )
         out = [l for l in proc.stdout.splitlines() if l.startswith("@@R@@")]
         if proc.returncode == 0 and out:

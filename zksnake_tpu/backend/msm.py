@@ -175,12 +175,17 @@ def _signed_window_digits(slimbs, c, nbits):
     return jnp.stack(rows[::-1], axis=0)
 
 
-# Per-round mont_mul batch target: the pallas accumulator's VPU utilization
-# scales with lanes per round, so windows are processed G = cap/2^(c-1) at a
-# time (bucket state for all G windows lives in VMEM: ~16 MB/core budget;
-# Fq2 coordinates double the state, halving the cap).
-PALLAS_LANE_CAP_G1 = 16384
-PALLAS_LANE_CAP_G2 = 8192
+# Per-launch lane width for the pallas bucket accumulator. The traced
+# mixed-add needs ~4KB/lane of Mosaic scoped VMEM for its temporaries
+# (measured: 63MB at 16384 lanes), and spilling that to HBM made the wide
+# launch 4x SLOWER than the jnp fallback on hardware (25.8k vs 105k pts/s at
+# 2^20) — so the cap keeps the whole working set VMEM-resident. A (16, 4096)
+# tile is still 32 full VPU tiles per op; total point-op work is independent
+# of the split (G windows per launch merely reshapes it).
+import os as _os
+
+PALLAS_LANE_CAP_G1 = int(_os.environ.get("ZKSNAKE_PALLAS_LANE_CAP", "4096"))
+PALLAS_LANE_CAP_G2 = PALLAS_LANE_CAP_G1 // 2
 
 
 def msm_pippenger(gs, P, slimbs, c=13):

@@ -192,6 +192,49 @@ def pallas_available():
     return _STATE["on_tpu"]
 
 
+def _mxu_mats(gs):
+    """(inputs, specs) for the MXU-reduction matrices when
+    ZKSNAKE_MXU_MONTMUL=1 — Pallas kernels can't capture constant arrays, so
+    point kernels receive PMAT/PPMAT as leading inputs and publish them to
+    mxu_field._KERNEL_MATS for the nested mont_mul calls."""
+    from jax.experimental import pallas as pl
+    from .field import _mxu_montmul
+
+    if not _mxu_montmul():
+        return [], []
+    from .mxu_field import reduction_mats_dev
+
+    pmat, ppmat = reduction_mats_dev(gs.fs)
+    specs = [
+        pl.BlockSpec(pmat.shape, lambda r: (0, 0)),
+        pl.BlockSpec(ppmat.shape, lambda r: (0, 0)),
+    ]
+    return [pmat, ppmat], specs
+
+
+class _published_mats:
+    """Trace-time context: expose mat refs to nested mont_mul_mxu_cols."""
+
+    def __init__(self, gs, mat_refs):
+        self.p = gs.fs.p
+        self.mat_refs = mat_refs
+
+    def __enter__(self):
+        if self.mat_refs:
+            from . import mxu_field
+
+            mxu_field._KERNEL_MATS[self.p] = tuple(
+                ref[...] for ref in self.mat_refs
+            )
+
+    def __exit__(self, *exc):
+        if self.mat_refs:
+            from . import mxu_field
+
+            mxu_field._KERNEL_MATS.pop(self.p, None)
+        return False
+
+
 def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
     """Bucket accumulation for one Pippenger window as ONE pallas launch.
 
@@ -208,42 +251,50 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
     (window_accumulate_reduce_pallas — kept behind ZKSNAKE_MSM_FUSED=1).
     """
     from jax.experimental import pallas as pl
+    from .field import _mxu_montmul
 
     nl = gs.fs.nl
     L = len(point_rounds_leaves)
     ident0 = gs.identity((B,))
     treedef = jax.tree_util.tree_structure(ident0)
     xy_treedef = jax.tree_util.tree_structure((ident0[0], ident0[1]))
+    mats_in, mats_specs = _mxu_mats(gs)
+    NM = len(mats_in)
 
     def kernel(*refs):
-        valid_ref = refs[0]
-        in_refs = refs[1 : 1 + L]
-        out_refs = refs[1 + L :]
-        r = pl.program_id(0)
+        with _published_mats(gs, refs[:NM]):
+            valid_ref = refs[NM]
+            in_refs = refs[NM + 1 : NM + 1 + L]
+            out_refs = refs[NM + 1 + L :]
+            r = pl.program_id(0)
 
-        ident = gs.identity((B,))
+            ident = gs.identity((B,))
 
-        @pl.when(r == 0)
-        def _():
-            for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(ident)):
+            @pl.when(r == 0)
+            def _():
+                for oref, leaf in zip(
+                    out_refs, jax.tree_util.tree_leaves(ident)
+                ):
+                    oref[...] = leaf
+
+            bucket = jax.tree_util.tree_unflatten(
+                treedef, [oref[...] for oref in out_refs]
+            )
+            pt_xy = jax.tree_util.tree_unflatten(
+                xy_treedef, [iref[0] for iref in in_refs]
+            )
+            res = gs.add_affine(bucket, pt_xy)
+            v = valid_ref[0, 0] != 0
+            out = gs.select(v, res, bucket)
+            for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(out)):
                 oref[...] = leaf
 
-        bucket = jax.tree_util.tree_unflatten(
-            treedef, [oref[...] for oref in out_refs]
-        )
-        pt_xy = jax.tree_util.tree_unflatten(
-            xy_treedef, [iref[0] for iref in in_refs]
-        )
-        res = gs.add_affine(bucket, pt_xy)
-        v = valid_ref[0, 0] != 0
-        out = gs.select(v, res, bucket)
-        for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(out)):
-            oref[...] = leaf
-
     n_out = len(jax.tree_util.tree_leaves(ident0))
-    in_specs = [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))] + [
-        pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)
-    ]
+    in_specs = (
+        mats_specs
+        + [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))]
+        + [pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)]
+    )
     out_specs = [pl.BlockSpec((nl, B), lambda r: (0, 0)) for _ in range(n_out)]
     out_shape = [jax.ShapeDtypeStruct((nl, B), jnp.uint32) for _ in range(n_out)]
 
@@ -257,7 +308,7 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
             out_shape=out_shape,
             interpret=_interpret(),
             compiler_params=None if _interpret() else _compiler_params(),
-        )(valid[:, None, :], *point_rounds_leaves)
+        )(*mats_in, valid[:, None, :], *point_rounds_leaves)
     finally:
         _STATE["in_kernel"] = False
     return jax.tree_util.tree_unflatten(treedef, list(outs))
@@ -297,57 +348,64 @@ def window_accumulate_reduce_pallas(gs, point_rounds_leaves, valid, R, B, c):
         _roll = lambda t, s: jnp.roll(t, s, axis=1)
     else:
         _roll = lambda t, s: pltpu.roll(t, s, axis=1)
+    mats_in, mats_specs = _mxu_mats(gs)
+    NM = len(mats_in)
 
     def kernel(*refs):
-        valid_ref = refs[0]
-        in_refs = refs[1 : 1 + L]
-        out_refs = refs[1 + L : 1 + L + n_out]
-        scratch = refs[1 + L + n_out :]
-        r = pl.program_id(0)
+        with _published_mats(gs, refs[:NM]):
+            valid_ref = refs[NM]
+            in_refs = refs[NM + 1 : NM + 1 + L]
+            out_refs = refs[NM + 1 + L : NM + 1 + L + n_out]
+            scratch = refs[NM + 1 + L + n_out :]
+            r = pl.program_id(0)
 
-        ident = gs.identity((B,))
+            ident = gs.identity((B,))
 
-        @pl.when(r == 0)
-        def _():
-            for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(ident)):
-                sref[...] = leaf
+            @pl.when(r == 0)
+            def _():
+                for sref, leaf in zip(
+                    scratch, jax.tree_util.tree_leaves(ident)
+                ):
+                    sref[...] = leaf
 
-        bucket = jax.tree_util.tree_unflatten(
-            treedef, [sref[...] for sref in scratch]
-        )
-        pt_xy = jax.tree_util.tree_unflatten(
-            xy_treedef, [iref[0] for iref in in_refs]
-        )
-        res = gs.add_affine(bucket, pt_xy)
-        v = valid_ref[0, 0] != 0
-        out = gs.select(v, res, bucket)
-        for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(out)):
-            sref[...] = leaf
-
-        @pl.when(r == R - 1)
-        def _():
-            T = jax.tree_util.tree_unflatten(
+            bucket = jax.tree_util.tree_unflatten(
                 treedef, [sref[...] for sref in scratch]
             )
-            iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-            # suffix sums T_b = sum_{j>=b} S_j  (roll left by sh == right by B-sh)
-            for i in range(c - 1):
-                sh = 1 << i
-                Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
-                cand = gs.add(T, Q)
-                T = gs.select(iota_b < B - sh, cand, T)
-            # total = sum_b T_b via rotation tree
-            logb = B.bit_length() - 1
-            for i in range(logb):
-                sh = B >> (i + 1)
-                Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
-                T = gs.add(T, Q)
-            for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(T)):
-                oref[...] = leaf[:, 0:1]
+            pt_xy = jax.tree_util.tree_unflatten(
+                xy_treedef, [iref[0] for iref in in_refs]
+            )
+            res = gs.add_affine(bucket, pt_xy)
+            v = valid_ref[0, 0] != 0
+            out = gs.select(v, res, bucket)
+            for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(out)):
+                sref[...] = leaf
 
-    in_specs = [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))] + [
-        pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)
-    ]
+            @pl.when(r == R - 1)
+            def _():
+                T = jax.tree_util.tree_unflatten(
+                    treedef, [sref[...] for sref in scratch]
+                )
+                iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+                # suffix sums T_b = sum_{j>=b} S_j (roll left sh == right B-sh)
+                for i in range(c - 1):
+                    sh = 1 << i
+                    Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
+                    cand = gs.add(T, Q)
+                    T = gs.select(iota_b < B - sh, cand, T)
+                # total = sum_b T_b via rotation tree
+                logb = B.bit_length() - 1
+                for i in range(logb):
+                    sh = B >> (i + 1)
+                    Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
+                    T = gs.add(T, Q)
+                for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(T)):
+                    oref[...] = leaf[:, 0:1]
+
+    in_specs = (
+        mats_specs
+        + [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))]
+        + [pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)]
+    )
     out_specs = [pl.BlockSpec((nl, 1), lambda r: (0, 0)) for _ in range(n_out)]
     out_shape = [jax.ShapeDtypeStruct((nl, 1), jnp.uint32) for _ in range(n_out)]
     scratch_shapes = [pltpu.VMEM((nl, B), jnp.uint32) for _ in range(n_out)]
@@ -363,7 +421,7 @@ def window_accumulate_reduce_pallas(gs, point_rounds_leaves, valid, R, B, c):
             scratch_shapes=scratch_shapes,
             interpret=interp,
             compiler_params=None if interp else _compiler_params(),
-        )(valid[:, None, :], *point_rounds_leaves)
+        )(*mats_in, valid[:, None, :], *point_rounds_leaves)
     finally:
         _STATE["in_kernel"] = False
     return jax.tree_util.tree_unflatten(treedef, list(outs))
