@@ -38,10 +38,15 @@ def _setup(B):
 
 
 def _pull(x):
+    """Timing fence: device->host pull of a few bytes. Slice on DEVICE before
+    np.asarray — converting a whole leaf ships the entire buffer through the
+    axon relay at ~36 MB/s and dominated every round-1 'slow op' number."""
     import numpy as np
     import jax
 
-    np.asarray(jax.tree_util.tree_leaves(x)[0])[..., :1]
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    idx = tuple(slice(0, 1) for _ in leaf.shape)
+    np.asarray(leaf[idx])
 
 
 def stage_kernel(B, R):
@@ -53,22 +58,26 @@ def stage_kernel(B, R):
 
     gs, X, Y = _setup(B)
     nl = gs.fs.nl
-    # round-major synthetic tables: same point replicated per round (values
-    # don't matter for timing; validity mask exercises the select path)
-    leaves = [
-        jnp.broadcast_to(t[None], (R, nl, B))
+    # packed round-major synthetic table: same point replicated per round
+    # (values don't matter for timing; validity exercises the select path)
+    packed = [
+        t[0::2] | (t[1::2] << 16)
         for t in jax.tree_util.tree_leaves((X, Y))
     ]
+    table = jnp.broadcast_to(
+        jnp.concatenate(packed, axis=0)[None],
+        (R, len(packed) * (nl // 2), B),
+    )
     valid = jnp.ones((R, B), jnp.int32)
 
     @jax.jit
-    def run(leaves, valid):
-        return pallas_field.bucket_accumulate_pallas(gs, leaves, valid, R, B)
+    def run(table, valid):
+        return pallas_field.bucket_accumulate_pallas(gs, table, valid, R, B)
 
-    out = run(leaves, valid)
+    out = run(table, valid)
     _pull(out)
     t0 = time.time()
-    out = run(leaves, valid)
+    out = run(table, valid)
     _pull(out)
     dt = time.time() - t0
     nmul = 13 * B * R

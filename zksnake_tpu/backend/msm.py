@@ -225,15 +225,57 @@ def msm_pippenger(gs, P, slimbs, c=13):
     X, Y, Z = P
     inf = gs.F.is_zero(Z)  # identity inputs (e.g. padding) are masked out
 
+    NLB = gs.fs.nl
+    PL = NLB // 2
+
+    def _pack(leaf):
+        """(NL, ...) 16-bit-limb planes -> (NL/2, ...) u32-packed planes."""
+        return leaf[0::2] | (leaf[1::2] << 16)
+
+    def _unpack(pk):
+        """Inverse of _pack: (PL, ...) -> (NL, ...) interleaved limbs."""
+        lo = pk & jnp.uint32(0xFFFF)
+        hi = pk >> 16
+        return jnp.stack([lo, hi], axis=1).reshape((NLB,) + pk.shape[1:])
+
+    # X never changes per window: pack once. Y needs per-window sign
+    # selection, so pack both Y and -Y and select on packed planes.
+    xpk_leaves = [_pack(l) for l in jax.tree_util.tree_leaves(X)]
+    ypk_leaves = [_pack(l) for l in jax.tree_util.tree_leaves(Y)]
+    nypk_leaves = [
+        _pack(l) for l in jax.tree_util.tree_leaves(gs._neg_coord(Y))
+    ]
+    x_tdef = jax.tree_util.tree_structure(X)
+    y_tdef = jax.tree_util.tree_structure(Y)
+    LX, LY = len(xpk_leaves), len(ypk_leaves)
+
     def chunk_body(result, dgroup):
+        # Payload sort by |digit| (one lax.sort carrying all packed limb
+        # planes: ~17 operands for G1 — measured 30ms at 2^20/33 operands on
+        # v5e — vs argsort + two rounds of take_along_axis gathers): after
+        # the sort every bucket's points form one contiguous run, Y is
+        # pre-negated for negative digits, and infinity inputs ride the
+        # dropped |d| = 0 run.
         mag = jnp.abs(dgroup)  # (G, n)
-        order = jnp.argsort(mag, axis=-1)
-        ms = jnp.take_along_axis(mag, order, axis=-1)
-        neg_s = jnp.take_along_axis(dgroup < 0, order, axis=-1)
-        inf_s = inf[order]  # (G, n)
-        Xs = jax.tree_util.tree_map(lambda t: t[:, order], X)  # (NL, G, n)
-        Ys = jax.tree_util.tree_map(lambda t: t[:, order], Y)
-        Ys = gs.negate_y(Ys, neg_s)
+        mag = jnp.where(inf[None], 0, mag)
+        neg = dgroup < 0  # (G, n)
+        planes = []
+        for leaf in xpk_leaves:
+            rep = jnp.broadcast_to(leaf[:, None, :], (PL, G, n))
+            planes.extend([rep[l] for l in range(PL)])
+        for leaf, nleaf in zip(ypk_leaves, nypk_leaves):
+            signed = jnp.where(
+                neg[None, :, :], nleaf[:, None, :], leaf[:, None, :]
+            )
+            planes.extend([signed[l] for l in range(PL)])
+        sorted_all = jax.lax.sort(
+            (mag,) + tuple(planes), dimension=1, num_keys=1
+        )
+        ms = sorted_all[0]
+        sleaves = [
+            jnp.stack(sorted_all[1 + i * PL : 1 + (i + 1) * PL], axis=0)
+            for i in range(LX + LY)
+        ]  # packed (PL, G, n) per coordinate leaf
 
         is_start = jnp.concatenate(
             [jnp.ones((G, 1), jnp.bool_), ms[:, 1:] != ms[:, :-1]], axis=1
@@ -263,17 +305,18 @@ def msm_pippenger(gs, P, slimbs, c=13):
         has_digit = ends_by_digit >= 0
 
         def _accum_loop(g):
-            """while_loop bucket accumulation for window g (fallback path)."""
+            """while_loop bucket accumulation for window g (fallback path);
+            reads the packed sorted planes and unpacks per round."""
             buckets = gs.identity((B2,))
-            Xg = jax.tree_util.tree_map(lambda t: t[:, g], Xs)
-            Yg = jax.tree_util.tree_map(lambda t: t[:, g], Ys)
+            pk_g = [l[:, g] for l in sleaves]  # (PL, n) each
 
             def round_body(state):
                 k, buckets = state
                 pos = jnp.clip(starts_by_digit[g] + k, 0, n - 1)
-                valid = has_digit[g] & (k < len_by_digit[g]) & ~inf_s[g, pos]
-                Qx = jax.tree_util.tree_map(lambda t: t[:, pos], Xg)
-                Qy = jax.tree_util.tree_map(lambda t: t[:, pos], Yg)
+                valid = has_digit[g] & (k < len_by_digit[g])
+                cols = [_unpack(l[:, pos]) for l in pk_g]  # (NL, B2)
+                Qx = jax.tree_util.tree_unflatten(x_tdef, cols[:LX])
+                Qy = jax.tree_util.tree_unflatten(y_tdef, cols[LX:])
                 cand = gs.add_affine(buckets, (Qx, Qy))
                 buckets = gs.select(valid, cand, buckets)
                 return (k + 1, buckets)
@@ -308,68 +351,50 @@ def msm_pippenger(gs, P, slimbs, c=13):
             return _tree_reduce(gs, T, B2)  # (NL, G) leaves
 
         if use_pallas_buckets:
-            # one pallas launch streams R rounds of gathered affine points
+            # one pallas launch streams R rounds of the packed round table
             # through a VMEM-resident (G*B2)-lane bucket accumulator; the
-            # weighted reduction runs as a compact jnp fori graph (or
-            # in-kernel with ZKSNAKE_MSM_FUSED=1 when G == 1). Degenerate
-            # digit skew (a run longer than R_static) falls back to the
-            # while_loop + jnp path for the whole chunk.
-            import os
-
+            # table is built gather-free — one scan of per-run contiguous
+            # dynamic slices over ALL packed planes + one XLA transpose
+            # (measured 2.7 / 3.2 GB/s on v5e) — and the weighted reduction
+            # runs as a compact jnp fori graph. Degenerate digit skew (a run
+            # longer than R_static) falls back to the while_loop + jnp path.
             R_static = int(min(n, n // B2 + 129))
-            fused = (
-                G == 1 and os.environ.get("ZKSNAKE_MSM_FUSED", "0") == "1"
-            )
-
-            def _gathered():
-                kcol = jnp.arange(R_static, dtype=jnp.int32)[None, :, None]
-                pos = jnp.clip(
-                    starts_by_digit[:, None, :] + kcol, 0, n - 1
-                )  # (G, R, B2)
-                pos_flat = pos.reshape(G, R_static * B2)
-                inf_g = jnp.take_along_axis(inf_s, pos_flat, axis=1).reshape(
-                    G, R_static, B2
-                )
-                valid = (
-                    has_digit[:, None, :]
-                    & (kcol < len_by_digit[:, None, :])
-                    & ~inf_g
-                ).astype(jnp.int32)
-                valid = jnp.transpose(valid, (1, 0, 2)).reshape(
-                    R_static, G * B2
-                )
-                nl = gs.fs.nl
-
-                def gather(leaf):  # (NL, G, n) -> (R, NL, G*B2)
-                    src = jnp.take_along_axis(
-                        leaf,
-                        jnp.broadcast_to(
-                            pos_flat[None], (nl, G, R_static * B2)
-                        ),
-                        axis=2,
-                    ).reshape(nl, G, R_static, B2)
-                    return jnp.transpose(src, (2, 0, 1, 3)).reshape(
-                        R_static, nl, G * B2
-                    )
-
-                leaves = [
-                    gather(leaf)
-                    for leaf in jax.tree_util.tree_leaves((Xs, Ys))
-                ]
-                return leaves, valid
+            R_static = -(-R_static // 8) * 8
 
             def _chunk_pallas(_):
-                leaves, valid = _gathered()
-                if fused:
-                    ws = pallas_field.window_accumulate_reduce_pallas(
-                        gs, leaves, valid, R_static, B2, c
+                gofs = jnp.arange(G, dtype=jnp.int32)[:, None] * n
+                starts_flat = (starts_by_digit + gofs).reshape(G * B2)
+                # one (L*PL, G*n + pad) source holding every packed plane:
+                # X then Y leaves in tree order, matching the kernel's
+                # unpack layout
+                src = jnp.pad(
+                    jnp.concatenate(
+                        [l.reshape(PL, G * n) for l in sleaves], axis=0
+                    ),
+                    ((0, 0), (0, R_static)),
+                )
+                NP = (LX + LY) * PL
+
+                def body(_, s):
+                    return None, jax.lax.dynamic_slice(
+                        src, (0, s), (NP, R_static)
                     )
-                    return ws  # (NL, 1) leaves == (NL, G) at G == 1
+
+                _, t = jax.lax.scan(body, None, starts_flat)
+                # (G*B2, NP, R) -> (R, NP, G*B2): the round axis MUST lead
+                # (Mosaic blocks along leading dims only; a second-minor
+                # block dim of 1 on a 392-sized axis is rejected)
+                table = jnp.transpose(t, (2, 1, 0))
+                kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
+                valid = (
+                    has_digit.reshape(1, G * B2)
+                    & (kcol < len_by_digit.reshape(1, G * B2))
+                ).astype(jnp.int32)
                 buckets = pallas_field.bucket_accumulate_pallas(
-                    gs, leaves, valid, R_static, G * B2
+                    gs, table, valid, R_static, G * B2
                 )
                 buckets = jax.tree_util.tree_map(
-                    lambda t: t.reshape(t.shape[0], G, B2), buckets
+                    lambda t_: t_.reshape(t_.shape[0], G, B2), buckets
                 )
                 return _reduce_jnp(buckets)
 

@@ -235,37 +235,44 @@ class _published_mats:
         return False
 
 
-def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
+def bucket_accumulate_pallas(gs, table, valid, R, B):
     """Bucket accumulation for one Pippenger window as ONE pallas launch.
 
-    point_rounds_leaves: list of AFFINE coordinate-limb tensors shaped
-    (R, nl, B) — the leaves of the (X, Y) tuple of round-major gathers of the
-    sorted points (round k row b = the rank-k element of digit-b's run);
-    streaming only 2 of 3 coordinates cuts HBM traffic by a third. valid:
-    (R, B) int32 mask (identity inputs pre-masked by the caller). The bucket
-    accumulator lives in VMEM across all R grid steps (constant out-block
-    index); each step is one masked complete mixed point-add on B lanes
-    while the next round's points stream in via the grid pipeline. The
+    table: (R, L*PL, B) uint32 PACKED round-major table of the sorted
+    affine points (round k, lane b = the rank-k element of digit-b's run).
+    PL = nl//2 rows per coordinate leaf (X then Y, Fp2 legs in tree-leaf
+    order); packed row j of a leaf holds limb 2j in the low 16 bits and
+    limb 2j+1 in the high 16. Packing halves the sort payload, the
+    expansion/transpose traffic, and this kernel's HBM streaming; limbs
+    unpack to (nl, B) registers in VMEM. The round axis MUST lead: Mosaic
+    blocks along leading dims only (a (nl, 1, B) block of an (nl, R, B)
+    table is rejected).
+
+    valid: (R, B) int32 mask (identity inputs pre-masked by the caller). The
+    bucket accumulator lives in VMEM across all R grid steps (constant
+    out-block index); each step is one masked complete mixed point-add on B
+    lanes while the next round's points stream in via the grid pipeline. The
     weighted reduction stays OUTSIDE (jnp fori_loop): unrolling its ~2c
-    point-adds inside the kernel made Mosaic compiles exceed 50 minutes
-    (window_accumulate_reduce_pallas — kept behind ZKSNAKE_MSM_FUSED=1).
+    point-adds inside the kernel made Mosaic compiles exceed 50 minutes.
     """
     from jax.experimental import pallas as pl
     from .field import _mxu_montmul
 
     nl = gs.fs.nl
-    L = len(point_rounds_leaves)
+    PL = nl // 2
     ident0 = gs.identity((B,))
     treedef = jax.tree_util.tree_structure(ident0)
     xy_treedef = jax.tree_util.tree_structure((ident0[0], ident0[1]))
+    L = len(jax.tree_util.tree_leaves((ident0[0], ident0[1])))
+    assert table.shape == (R, L * PL, B), (table.shape, R, L, PL, B)
     mats_in, mats_specs = _mxu_mats(gs)
     NM = len(mats_in)
 
     def kernel(*refs):
         with _published_mats(gs, refs[:NM]):
             valid_ref = refs[NM]
-            in_refs = refs[NM + 1 : NM + 1 + L]
-            out_refs = refs[NM + 1 + L :]
+            tab_ref = refs[NM + 1]
+            out_refs = refs[NM + 2 :]
             r = pl.program_id(0)
 
             ident = gs.identity((B,))
@@ -280,9 +287,18 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
             bucket = jax.tree_util.tree_unflatten(
                 treedef, [oref[...] for oref in out_refs]
             )
-            pt_xy = jax.tree_util.tree_unflatten(
-                xy_treedef, [iref[0] for iref in in_refs]
-            )
+            blk = tab_ref[0]  # (L*PL, B) packed
+            xy_leaves = []
+            for i in range(L):
+                sub = blk[i * PL : (i + 1) * PL]
+                lo = sub & jnp.uint32(0xFFFF)
+                hi = sub >> 16
+                parts = []
+                for j in range(PL):
+                    parts.append(lo[j : j + 1])
+                    parts.append(hi[j : j + 1])
+                xy_leaves.append(jnp.concatenate(parts, axis=0))
+            pt_xy = jax.tree_util.tree_unflatten(xy_treedef, xy_leaves)
             res = gs.add_affine(bucket, pt_xy)
             v = valid_ref[0, 0] != 0
             out = gs.select(v, res, bucket)
@@ -293,7 +309,7 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
     in_specs = (
         mats_specs
         + [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))]
-        + [pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)]
+        + [pl.BlockSpec((1, L * PL, B), lambda r: (r, 0, 0))]
     )
     out_specs = [pl.BlockSpec((nl, B), lambda r: (0, 0)) for _ in range(n_out)]
     out_shape = [jax.ShapeDtypeStruct((nl, B), jnp.uint32) for _ in range(n_out)]
@@ -308,120 +324,7 @@ def bucket_accumulate_pallas(gs, point_rounds_leaves, valid, R, B):
             out_shape=out_shape,
             interpret=_interpret(),
             compiler_params=None if _interpret() else _compiler_params(),
-        )(*mats_in, valid[:, None, :], *point_rounds_leaves)
-    finally:
-        _STATE["in_kernel"] = False
-    return jax.tree_util.tree_unflatten(treedef, list(outs))
-
-
-def window_accumulate_reduce_pallas(gs, point_rounds_leaves, valid, R, B, c):
-    """One Pippenger window — bucket accumulation AND weighted reduction — as
-    ONE pallas launch. EXPERIMENTAL (ZKSNAKE_MSM_FUSED=1): the unrolled
-    in-kernel reduction makes Mosaic compile times impractical at B >= 2^11;
-    default path is bucket_accumulate_pallas + jnp reduction.
-
-    The bucket array lives in VMEM scratch (never touching HBM); each grid
-    step is one masked complete mixed point-add on B lanes (round k, bucket b
-    adds the rank-k element of digit-b's sorted run) while the next round's
-    points stream in via the grid pipeline. After the last round the kernel runs
-    the weighted bucket reduction in-place — (c-1) suffix-scan rounds
-    computing T_b = sum_{j>=b} S_j followed by a log2(B) rotation tree-sum of
-    all T_b (sum_b (b+1) S_b = sum_b T_b for the signed-digit layout where
-    bucket b holds |digit| = b+1) — and writes only the single window sum.
-    The jnp formulation of those ~c-1+log2(B) point-adds is HBM-bound; here
-    every roll/add runs on VMEM-resident tiles.
-
-    point_rounds_leaves: leaves of the (X, Y) affine gather tuple, (R, nl, B).
-    valid: (R, B) int32. Returns the window sum as projective (nl, 1) leaves.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nl = gs.fs.nl
-    L = len(point_rounds_leaves)
-    ident0 = gs.identity((B,))
-    treedef = jax.tree_util.tree_structure(ident0)
-    xy_treedef = jax.tree_util.tree_structure((ident0[0], ident0[1]))
-    n_out = len(jax.tree_util.tree_leaves(ident0))
-    interp = _interpret()
-    if interp:
-        _roll = lambda t, s: jnp.roll(t, s, axis=1)
-    else:
-        _roll = lambda t, s: pltpu.roll(t, s, axis=1)
-    mats_in, mats_specs = _mxu_mats(gs)
-    NM = len(mats_in)
-
-    def kernel(*refs):
-        with _published_mats(gs, refs[:NM]):
-            valid_ref = refs[NM]
-            in_refs = refs[NM + 1 : NM + 1 + L]
-            out_refs = refs[NM + 1 + L : NM + 1 + L + n_out]
-            scratch = refs[NM + 1 + L + n_out :]
-            r = pl.program_id(0)
-
-            ident = gs.identity((B,))
-
-            @pl.when(r == 0)
-            def _():
-                for sref, leaf in zip(
-                    scratch, jax.tree_util.tree_leaves(ident)
-                ):
-                    sref[...] = leaf
-
-            bucket = jax.tree_util.tree_unflatten(
-                treedef, [sref[...] for sref in scratch]
-            )
-            pt_xy = jax.tree_util.tree_unflatten(
-                xy_treedef, [iref[0] for iref in in_refs]
-            )
-            res = gs.add_affine(bucket, pt_xy)
-            v = valid_ref[0, 0] != 0
-            out = gs.select(v, res, bucket)
-            for sref, leaf in zip(scratch, jax.tree_util.tree_leaves(out)):
-                sref[...] = leaf
-
-            @pl.when(r == R - 1)
-            def _():
-                T = jax.tree_util.tree_unflatten(
-                    treedef, [sref[...] for sref in scratch]
-                )
-                iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-                # suffix sums T_b = sum_{j>=b} S_j (roll left sh == right B-sh)
-                for i in range(c - 1):
-                    sh = 1 << i
-                    Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
-                    cand = gs.add(T, Q)
-                    T = gs.select(iota_b < B - sh, cand, T)
-                # total = sum_b T_b via rotation tree
-                logb = B.bit_length() - 1
-                for i in range(logb):
-                    sh = B >> (i + 1)
-                    Q = jax.tree_util.tree_map(lambda t: _roll(t, B - sh), T)
-                    T = gs.add(T, Q)
-                for oref, leaf in zip(out_refs, jax.tree_util.tree_leaves(T)):
-                    oref[...] = leaf[:, 0:1]
-
-    in_specs = (
-        mats_specs
-        + [pl.BlockSpec((1, 1, B), lambda r: (r, 0, 0))]
-        + [pl.BlockSpec((1, nl, B), lambda r: (r, 0, 0)) for _ in range(L)]
-    )
-    out_specs = [pl.BlockSpec((nl, 1), lambda r: (0, 0)) for _ in range(n_out)]
-    out_shape = [jax.ShapeDtypeStruct((nl, 1), jnp.uint32) for _ in range(n_out)]
-    scratch_shapes = [pltpu.VMEM((nl, B), jnp.uint32) for _ in range(n_out)]
-
-    _STATE["in_kernel"] = True
-    try:
-        outs = pl.pallas_call(
-            kernel,
-            grid=(R,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=scratch_shapes,
-            interpret=interp,
-            compiler_params=None if interp else _compiler_params(),
-        )(*mats_in, valid[:, None, :], *point_rounds_leaves)
+        )(*mats_in, valid[:, None, :], table)
     finally:
         _STATE["in_kernel"] = False
     return jax.tree_util.tree_unflatten(treedef, list(outs))
