@@ -85,6 +85,42 @@ def test_plonk_bls12_381(plonkish_data_bls12_381):
     assert plonk.verify(Proof.from_bytes(proof_bytes, "BLS12_381"), pub)
 
 
+def test_plonk_external_tau_resume(plonkish_data_bn254):
+    """Resume setup from an external powers-of-tau SRS (the reference's
+    checkpoint path, its plonk/protocol.py:53-57): a prove/verify cycle must
+    work against keys derived from a previous ceremony's tau powers."""
+    plonkish, (pub, priv) = plonkish_data_bn254
+
+    ceremony = Plonk(plonkish)
+    ceremony.setup()
+    g1_tau, g2_tau = ceremony.G1_tau, ceremony.G2_tau
+
+    plonk = Plonk(plonkish)
+    plonk.setup(g1_tau=g1_tau, g2_tau=g2_tau)
+    assert plonk.G1_tau == g1_tau
+
+    proof = plonk.prove(pub, priv)
+    assert plonk.verify(proof, pub)
+    # keys from the same SRS must agree with the originating ceremony's
+    assert plonk.verifying_key.to_bytes() == ceremony.verifying_key.to_bytes()
+
+
+def test_plonk_external_tau_validation(plonkish_data_bn254):
+    """An undersized SRS (< n+6 powers) must be rejected, and g2_tau is
+    mandatory alongside g1_tau."""
+    plonkish, _ = plonkish_data_bn254
+
+    ceremony = Plonk(plonkish)
+    ceremony.setup()
+    g1_tau, g2_tau = ceremony.G1_tau, ceremony.G2_tau
+
+    n = plonkish.length
+    with pytest.raises(ValueError):
+        Plonk(plonkish).setup(g1_tau=g1_tau[: n + 5], g2_tau=g2_tau)
+    with pytest.raises(ValueError):
+        Plonk(plonkish).setup(g1_tau=g1_tau)
+
+
 def test_key_serialization_bn254(plonkish_data_bn254):
     plonkish, _ = plonkish_data_bn254
 

@@ -110,9 +110,15 @@ class Plonk:
             self.G1_tau = self.E.batch_mul(self.E.G1(), powers)
             self.G2_tau = self.E.G2() * tau
         else:
-            if len(self.G1_tau or g1_tau) >= n + 6:
+            # Resume from an external powers-of-tau ceremony (the reference's
+            # documented checkpoint path, its protocol.py:53-57 — whose own
+            # assert is inverted and would reject a sufficient SRS; we match
+            # the documented semantics, divergence recorded in PARITY.md).
+            if len(g1_tau) < n + 6:
                 raise ValueError("Constraints are too big for the given g1_tau")
-            self.G1_tau = g1_tau
+            if g2_tau is None:
+                raise ValueError("g2_tau is required alongside g1_tau")
+            self.G1_tau = list(g1_tau)
             self.G2_tau = g2_tau
 
         roots = get_all_evaluation_points(n, p)
