@@ -18,16 +18,30 @@ vs_baseline: ratio against the host pure-Python bigint MSM measured on the
 same machine (subsampled and extrapolated linearly) — the reference publishes
 no numbers (BASELINE.md), so the self-measured host path is the anchor.
 
+BUDGET DISCIPLINE (round-2 postmortem: rc=124, zero numbers recorded). The
+whole run fits a global wall-clock budget, ZKSNAKE_BENCH_BUDGET_S (default
+1500s): every stage's subprocess timeout is clamped to the remaining budget,
+stages are skipped (and recorded as skipped) when the remainder is below
+their minimum useful time, and the one-line JSON ALWAYS prints — on normal
+completion, on budget exhaustion, and on SIGTERM/SIGINT (so even an external
+`timeout` kill leaves the partial result in the output tail).
+
 Each measurement attempt runs in its OWN subprocess: a TPU kernel/compile
 failure poisons the device session for the rest of that process, so degraded
-retries must start clean. MSM attempts degrade (pallas, 2^20) ->
-(no-pallas, 2^20) -> smaller; every failed attempt's stderr tail is kept in
-detail.attempt_errors (round-1 review: never discard the failure).
+retries must start clean. Children get an internal SIGALRM slightly below
+the parent deadline so they exit CLEANLY on timeout — a SIGKILLed TPU
+process leaves a stale device claim that stalls the NEXT attempt for
+minutes (CLAUDE.md). A failed attempt whose stderr shows persistent-cache
+corruption triggers one `rm -rf .jax_cache` retry. MSM attempts degrade
+(pallas, 2^20) -> (no-pallas, 2^20) -> smaller; every failed attempt's
+stderr tail is kept in detail.attempt_errors.
 """
 
 import json
 import os
 import random
+import shutil
+import signal
 import subprocess
 import sys
 import time
@@ -37,6 +51,13 @@ G16_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_G16_LOG2N", "17"))
 PLONK_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_PLONK_LOG2N", "13"))
 HOST_SAMPLE = 1 << 10
 SKIP = set(os.environ.get("ZKSNAKE_BENCH_SKIP", "").split(","))
+BUDGET = float(os.environ.get("ZKSNAKE_BENCH_BUDGET_S", "1500"))
+_T0 = time.time()
+_RESERVE = 15.0  # time held back for the final JSON print
+
+
+def _remaining():
+    return BUDGET - (time.time() - _T0) - _RESERVE
 
 
 def _sync_pull(x):
@@ -169,18 +190,32 @@ def _measure_groth16(logn):
     g16.setup()
     t_setup = time.time() - t0
 
-    proof = g16.prove(pub, priv)  # warm (compiles cached for second run)
+    from zksnake_tpu import metrics
+
+    t0 = time.time()
+    proof = g16.prove(pub, priv)  # cold (includes compiles)
+    t_cold = time.time() - t0
+    metrics.enable()
+    metrics.reset()
     t0 = time.time()
     proof = g16.prove(pub, priv)
     t_prove = time.time() - t0
     if not g16.verify(proof, pub):
         raise AssertionError("Groth16 proof did not verify")
-    return {
+    out = {
         "groth16_prove_s": t_prove,
+        "groth16_prove_cold_s": t_cold,
         "groth16_setup_s": t_setup,
         "groth16_frontend_s": t_frontend,
         "constraints": 1 << logn,
     }
+    try:
+        out["groth16_phases"] = {
+            k: round(v["seconds"], 3) for k, v in metrics.report().items()
+        }
+    except Exception:
+        pass
+    return out
 
 
 def _measure_plonk(logn):
@@ -243,8 +278,9 @@ def _measure_scaling():
     cpus = jax.devices("cpu")
     assert len(cpus) >= 8, "need 8 virtual CPU devices"
 
-    n1 = n2 = 1 << 8
-    n = n1 * n2  # 2^16
+    n1 = n2 = 1 << 7
+    n = n1 * n2  # 2^14 (compile cost dominates this probe on the 2-core
+    # host; runtime only needs to be long enough to integrate — reps=2)
     dom = Domain.get(curve, n)
     coeffs = [rng.randrange(curve.r) for _ in range(n)]
     x = jnp.asarray(fourstep_input_layout(fr, coeffs, n1, n2))
@@ -255,7 +291,7 @@ def _measure_scaling():
         fn = jax.jit(sharded_ntt_fn(dom, mesh, n1))
         r = fn(x)
         jax.block_until_ready(r)  # CPU backend: block is trustworthy
-        reps = 3
+        reps = 2
         t0 = time.time()
         for _ in range(reps):
             r = fn(x)
@@ -280,13 +316,31 @@ ATTEMPTS = {
 
 
 def _attempt_main(name, arg):
+    # Internal deadline: exit CLEANLY (releasing the TPU claim) before the
+    # parent's kill would leave a stale claim for the next attempt.
+    alarm_s = int(float(os.environ.get("ZKSNAKE_ATTEMPT_ALARM_S", "0")))
+    if alarm_s > 0:
+
+        def _bail(signum, frame):
+            print("@@TIMEOUT@@", flush=True)
+            raise SystemExit(3)
+
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(alarm_s)
     print("@@RESULT@@" + json.dumps(ATTEMPTS[name](arg)))
 
 
-def _run_attempt(name, arg, timeout=3000, env_extra=None, cpu_mesh=False):
+def _clear_cache():
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    shutil.rmtree(cache, ignore_errors=True)
+
+
+def _run_attempt(name, arg, timeout=600, env_extra=None, cpu_mesh=False):
+    timeout = min(timeout, max(_remaining(), 1.0))
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
+    env["ZKSNAKE_ATTEMPT_ALARM_S"] = str(max(int(timeout) - 10, 5))
     if cpu_mesh:
         # pure-CPU jax with 8 virtual devices: drop the axon plugin from
         # PYTHONPATH and force the cpu platform (env vars work here because
@@ -308,105 +362,153 @@ def _run_attempt(name, arg, timeout=3000, env_extra=None, cpu_mesh=False):
             [sys.executable, "-u", os.path.abspath(__file__), "--attempt", name, str(arg)],
             capture_output=True,
             text=True,
-            timeout=timeout,
+            timeout=timeout + 15,  # SIGALRM inside should fire first
             env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         out = [l for l in proc.stdout.splitlines() if l.startswith("@@RESULT@@")]
         if proc.returncode != 0 or not out:
-            return None, (proc.stderr or proc.stdout)[-400:]
+            tag = "internal-timeout " if "@@TIMEOUT@@" in proc.stdout else ""
+            return None, tag + (proc.stderr or proc.stdout)[-400:]
         return json.loads(out[-1][len("@@RESULT@@") :]), None
     except Exception as e:  # timeout etc.
         return None, repr(e)[:400]
 
 
+def _run_attempt_recovering(name, arg, timeout=600, env_extra=None, cpu_mesh=False):
+    """One attempt + one retry after clearing a corrupt persistent cache
+    (CLAUDE.md: a failed compile can write a corrupt entry; symptom below)."""
+    r, err = _run_attempt(name, arg, timeout=timeout, env_extra=env_extra, cpu_mesh=cpu_mesh)
+    if r is None and err and "persistent compilation cache" in err and _remaining() > 60:
+        _clear_cache()
+        r, err2 = _run_attempt(name, arg, timeout=timeout, env_extra=env_extra, cpu_mesh=cpu_mesh)
+        if r is None:
+            err = f"{err} || after cache clear: {err2}"
+    return r, err
+
+
+class _Bailout(Exception):
+    pass
+
+
 def main():
-    # host bigint anchor (always available; no jax involvement)
-    from zksnake_tpu.curves import ec_bn254
-    from zksnake_tpu.backend.dispatch import _host_msm
-
-    rng = random.Random(0xBEEF)
-    base = [ec_bn254.g1() * (i + 1) for i in range(64)]
-    hpts = base * (HOST_SAMPLE // 64)
-    hss = [rng.randrange(ec_bn254._curve.r) for _ in range(HOST_SAMPLE)]
-    t0 = time.time()
-    _host_msm(ec_bn254, hpts, hss)
-    host_pts_per_s = HOST_SAMPLE / (time.time() - t0)
-
-    detail = {"host_python_points_per_s": round(host_pts_per_s, 1)}
+    detail = {"budget_s": BUDGET}
     errors = {}
+    skipped = []
+    state = {"printed": False, "msm": None, "msm_cfg": None, "host": None}
 
-    # ---- headline MSM (degrading ladder) ----
-    msm = None
-    msm_cfg = None
-    if "msm" not in SKIP:
-        for logn, extra in (
-            (LOG2N, None),
-            (LOG2N, {"ZKSNAKE_NO_PALLAS": "1"}),
-            (LOG2N - 2, {"ZKSNAKE_NO_PALLAS": "1"}),
-            (LOG2N - 4, {"ZKSNAKE_NO_PALLAS": "1"}),
-        ):
-            r, err = _run_attempt("msm", logn, env_extra=extra)
+    def _emit():
+        if state["printed"]:
+            return
+        state["printed"] = True
+        if errors:
+            detail["attempt_errors"] = errors
+        if skipped:
+            detail["skipped_for_budget"] = skipped
+        detail["elapsed_s"] = round(time.time() - _T0, 1)
+        host_pts_per_s = state["host"] or 1.0
+        msm, msm_cfg = state["msm"], state["msm_cfg"]
+        if msm is not None:
+            detail["msm_seconds"] = round(msm["dt"], 4)
+            detail["pallas"] = msm_cfg["pallas"]
+            detail["correct_vs_host_oracle"] = True
+            value = {
+                "metric": f"BN254 G1 MSM points/s/chip (2^{msm_cfg['log2n']}, device-resident)",
+                "value": round(msm["pts_per_s"], 1),
+                "unit": "points/s",
+                "vs_baseline": round(msm["pts_per_s"] / host_pts_per_s, 2),
+                "detail": detail,
+            }
+        else:
+            value = {
+                "metric": "BN254 G1 MSM points/s/chip (host fallback)",
+                "value": round(host_pts_per_s, 1),
+                "unit": "points/s",
+                "vs_baseline": 1.0,
+                "detail": detail,
+            }
+        print(json.dumps(value), flush=True)
+
+    def _on_term(signum, frame):
+        _emit()
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    try:
+        # host bigint anchor (always available; no jax involvement)
+        from zksnake_tpu.curves import ec_bn254
+        from zksnake_tpu.backend.dispatch import _host_msm
+
+        rng = random.Random(0xBEEF)
+        base = [ec_bn254.g1() * (i + 1) for i in range(64)]
+        hpts = base * (HOST_SAMPLE // 64)
+        hss = [rng.randrange(ec_bn254._curve.r) for _ in range(HOST_SAMPLE)]
+        t0 = time.time()
+        _host_msm(ec_bn254, hpts, hss)
+        state["host"] = HOST_SAMPLE / (time.time() - t0)
+        detail["host_python_points_per_s"] = round(state["host"], 1)
+
+        # ---- headline MSM first (degrading ladder) ----
+        if "msm" not in SKIP:
+            for logn, extra, cap, min_s in (
+                (LOG2N, None, 700, 90),
+                (LOG2N, {"ZKSNAKE_NO_PALLAS": "1"}, 450, 90),
+                (LOG2N - 4, None, 300, 60),
+                (LOG2N - 4, {"ZKSNAKE_NO_PALLAS": "1"}, 300, 60),
+            ):
+                if _remaining() < min_s:
+                    skipped.append(f"msm_2e{logn}")
+                    continue
+                r, err = _run_attempt_recovering("msm", logn, timeout=cap, env_extra=extra)
+                if r is not None:
+                    state["msm"] = r
+                    state["msm_cfg"] = {"log2n": logn, "pallas": extra is None}
+                    break
+                errors[f"msm_2e{logn}_{'nopallas' if extra else 'pallas'}"] = err
+
+        # ---- the rest of the metric set, best effort, isolated ----
+        stages = (
+            ("ntt", LOG2N, 300, 60, None, False,
+             lambda r: detail.update({"ntt_2e%d_ms" % LOG2N: round(r["ntt_ms"], 2)})),
+            ("groth16", G16_LOG2N, 700, 150, None, False,
+             lambda r: detail.update({
+                 "groth16_prove_s": round(r["groth16_prove_s"], 3),
+                 "groth16_prove_cold_s": round(r.get("groth16_prove_cold_s", 0), 3),
+                 "groth16_setup_s": round(r["groth16_setup_s"], 3),
+                 "groth16_constraints": r["constraints"],
+                 **({"groth16_phases": r["groth16_phases"]} if "groth16_phases" in r else {}),
+             })),
+            ("plonk", PLONK_LOG2N, 450, 120, None, False,
+             lambda r: detail.update({
+                 "plonk_prove_s": round(r["plonk_prove_s"], 3),
+                 "plonk_gates": r["gates"],
+             })),
+            ("scaling", 0, 300, 60, None, True,
+             lambda r: detail.update({
+                 "scaling_efficiency_1to8": round(r["scaling_efficiency_1to8"], 3),
+                 "sharded_ntt_t1_s": round(r["sharded_ntt_t1_s"], 3),
+                 "sharded_ntt_t8_s": round(r["sharded_ntt_t8_s"], 3),
+             })),
+        )
+        for name, arg, cap, min_s, extra, cpu_mesh, sink in stages:
+            if name in SKIP:
+                continue
+            if _remaining() < min_s:
+                skipped.append(name)
+                continue
+            r, err = _run_attempt_recovering(
+                name, arg, timeout=cap, env_extra=extra, cpu_mesh=cpu_mesh
+            )
             if r is not None:
-                msm = r
-                msm_cfg = {"log2n": logn, "pallas": extra is None}
-                break
-            errors[f"msm_2e{logn}_{'nopallas' if extra else 'pallas'}"] = err
-
-    # ---- the rest of the metric set, best effort, isolated ----
-    if "ntt" not in SKIP:
-        r, err = _run_attempt("ntt", LOG2N)
-        if r is not None:
-            detail["ntt_2e%d_ms" % LOG2N] = round(r["ntt_ms"], 2)
-        else:
-            errors["ntt"] = err
-    if "groth16" not in SKIP:
-        r, err = _run_attempt("groth16", G16_LOG2N, timeout=5400)
-        if r is not None:
-            detail["groth16_prove_s"] = round(r["groth16_prove_s"], 3)
-            detail["groth16_setup_s"] = round(r["groth16_setup_s"], 3)
-            detail["groth16_constraints"] = r["constraints"]
-        else:
-            errors["groth16"] = err
-    if "plonk" not in SKIP:
-        r, err = _run_attempt("plonk", PLONK_LOG2N, timeout=5400)
-        if r is not None:
-            detail["plonk_prove_s"] = round(r["plonk_prove_s"], 3)
-            detail["plonk_gates"] = r["gates"]
-        else:
-            errors["plonk"] = err
-    if "scaling" not in SKIP:
-        r, err = _run_attempt("scaling", 0, timeout=3000, cpu_mesh=True)
-        if r is not None:
-            detail["scaling_efficiency_1to8"] = round(r["scaling_efficiency_1to8"], 3)
-            detail["sharded_ntt_t1_s"] = round(r["sharded_ntt_t1_s"], 3)
-            detail["sharded_ntt_t8_s"] = round(r["sharded_ntt_t8_s"], 3)
-        else:
-            errors["scaling"] = err
-
-    if errors:
-        detail["attempt_errors"] = errors
-
-    if msm is not None:
-        detail["msm_seconds"] = round(msm["dt"], 4)
-        detail["pallas"] = msm_cfg["pallas"]
-        detail["correct_vs_host_oracle"] = True
-        value = {
-            "metric": f"BN254 G1 MSM points/s/chip (2^{msm_cfg['log2n']}, device-resident)",
-            "value": round(msm["pts_per_s"], 1),
-            "unit": "points/s",
-            "vs_baseline": round(msm["pts_per_s"] / host_pts_per_s, 2),
-            "detail": detail,
-        }
-    else:
-        value = {
-            "metric": "BN254 G1 MSM points/s/chip (host fallback)",
-            "value": round(host_pts_per_s, 1),
-            "unit": "points/s",
-            "vs_baseline": 1.0,
-            "detail": detail,
-        }
-    print(json.dumps(value))
+                sink(r)
+            else:
+                errors[name] = err
+    except _Bailout:
+        pass
+    finally:
+        _emit()
 
 
 if __name__ == "__main__":
