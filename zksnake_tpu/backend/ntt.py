@@ -159,12 +159,72 @@ def _ntt_core(dom: Domain, x, tw):
     return x
 
 
+def _ntt_core_cg(dom: Domain, x, tw):
+    """Constant-geometry (Pease) radix-2 DIF NTT: same result as _ntt_core,
+    but the stage loop is a lax.fori_loop whose body contains ONE mont_mul
+    instantiation — the whole transform compiles a single butterfly graph.
+
+    Every stage has identical data movement: split halves, butterfly, then
+    riffle a/b back together (a static stack+reshape — the "perfect
+    shuffle"), so shapes never change across stages and the loop carries a
+    fixed-shape tensor. Stage-s twiddle for lane i is tw[(i >> s) << s]
+    (low s bits cleared), one dynamic gather per stage. DIF with the
+    riffle emits bit-reversed order; a final bitrev take restores natural.
+
+    This exists for compile-bound backends: XLA-CPU compiles each unrolled
+    montmul instantiation in ~10s on the 2-core host, so _ntt_core's
+    log2(n) unrolled stages cost ~minutes per jit while this variant costs
+    one. On the TPU the unrolled form wins at runtime (no per-stage gather)
+    and remote compiles are cached, so _ntt() picks by backend.
+    """
+    fs = dom.fs
+    n = dom.n
+    if n == 1:
+        return x
+    logn = n.bit_length() - 1
+    batched = x.ndim == 3
+    if not batched:
+        x = x[:, None, :]
+    B = x.shape[1]
+    h = n // 2
+    iota = jnp.arange(h, dtype=jnp.int32)
+
+    def body(s, x):
+        u = x[..., :h]
+        v = x[..., h:]
+        idx = jnp.left_shift(jnp.right_shift(iota, s), s)
+        w = tw[:, idx]  # (nl, h)
+        a = mod_add(fs, u, v)
+        b = mont_mul(fs, mod_sub(fs, u, v), w[:, None, :])
+        return jnp.stack([a, b], axis=-1).reshape(fs.nl, B, n)
+
+    x = jax.lax.fori_loop(0, logn, body, x)
+    x = jnp.take(x, dom.bitrev(), axis=-1)
+    return x if batched else x[:, 0, :]
+
+
+def _use_cg():
+    import os
+
+    v = os.environ.get("ZKSNAKE_NTT_CG")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _ntt(dom: Domain, x, tw):
+    return (_ntt_core_cg if _use_cg() else _ntt_core)(dom, x, tw)
+
+
 def ntt_device(dom: Domain, x):
-    return _ntt_core(dom, x, dom.twiddles(False))
+    return _ntt(dom, x, dom.twiddles(False))
 
 
 def intt_device(dom: Domain, x):
-    y = _ntt_core(dom, x, dom.twiddles(True))
+    y = _ntt(dom, x, dom.twiddles(True))
     scale = dom.fs.const_mont_dev(dom.n_inv, (1,) * (x.ndim - 1))
     return mont_mul(dom.fs, y, scale)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .field import FieldSpec, mont_mul
-from .ntt import Domain, _ntt_core
+from .ntt import Domain, _ntt
 from .msm import _double_and_add, _tree_reduce, msm_pippenger, _pick_window
 from .curve_ops import get_group_spec
 
@@ -96,14 +96,19 @@ def sharded_msm_fn(gs, mesh, axis="shards"):
     return fn
 
 
-def pad_msm_operands(gs, Pts, slimbs, ndev):
-    """Pad an MSM instance so n divides the mesh: identity points (Z = 0)
-    with zero scalars contribute nothing (the mixed adds mask Z = 0 lanes)."""
+def pad_msm_to(gs, Pts, slimbs, n_target):
+    """Pad an MSM instance to exactly n_target lanes: identity points (Z = 0)
+    with zero scalars contribute nothing (the mixed adds mask Z = 0 lanes).
+
+    Besides mesh divisibility, callers use this to EQUALIZE sizes across the
+    prover's MSMs (e.g. the K-private MSM up to the domain size n): equal
+    shapes share one compiled Pippenger graph instead of costing a fresh
+    multi-minute XLA compile per distinct width."""
     n = slimbs.shape[1]
-    rem = (-n) % ndev
+    rem = n_target - n
     if rem == 0:
         return Pts, slimbs
-    X, Y, Z = Pts
+    assert rem > 0, (n, n_target)
 
     def padp(t):
         return jnp.concatenate(
@@ -111,9 +116,17 @@ def pad_msm_operands(gs, Pts, slimbs, ndev):
         )
 
     return (
-        jax.tree_util.tree_map(padp, (X, Y, Z)),
-        jnp.concatenate([slimbs, jnp.zeros((slimbs.shape[0], rem), slimbs.dtype)], axis=1),
+        jax.tree_util.tree_map(padp, Pts),
+        jnp.concatenate(
+            [slimbs, jnp.zeros((slimbs.shape[0], rem), slimbs.dtype)], axis=1
+        ),
     )
+
+
+def pad_msm_operands(gs, Pts, slimbs, ndev):
+    """Pad an MSM instance so n divides the mesh (see pad_msm_to)."""
+    n = slimbs.shape[1]
+    return pad_msm_to(gs, Pts, slimbs, n + ((-n) % ndev))
 
 
 # ---------------------------------------------------------------- NTT ----
@@ -179,7 +192,7 @@ def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
         # stage 1: length-n2 NTT along the last axis for each local row
         # (_ntt_core expects (nl, n), so vmap over the row axis)
         def row_ntt(v):
-            return _ntt_core(row_dom, v, row_dom.twiddles(False))
+            return _ntt(row_dom, v, row_dom.twiddles(False))
 
         x1 = jax.vmap(row_ntt, in_axes=1, out_axes=1)(x)  # (nl, rows, n2)
         # stage 2: twiddle multiply
@@ -192,7 +205,7 @@ def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
         xt = jnp.swapaxes(xt, 1, 2)
 
         def col_ntt(v):
-            return _ntt_core(col_dom, v, col_dom.twiddles(False))
+            return _ntt(col_dom, v, col_dom.twiddles(False))
 
         x3 = jax.vmap(col_ntt, in_axes=1, out_axes=1)(xt)  # (nl, n2/D, n1)
         return x3
