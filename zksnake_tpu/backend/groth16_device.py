@@ -219,18 +219,33 @@ class Groth16DeviceProver:
             zero = gs.F.zeros(inf.shape)
             return (ax, ay, gs.F.select(inf, zero, one))
 
+        def pad_w(raw):
+            """Pad scalar width up to n (zero scalars multiply to identity):
+            equal widths share ONE compiled fixed-base graph across all the
+            G1 batches instead of one multi-minute compile per width."""
+            k = raw.shape[1]
+            if 0 < k < self.n:
+                return jnp.pad(raw, ((0, 0), (0, self.n - k))), k
+            return raw, k
+
+        def cut(P, k):
+            return jax.tree_util.tree_map(lambda t: t[..., :k], P)
+
         with phase("groth16.setup.msm", items=4 * self.n):
             tau1 = norm(g1, batch_mul_fixed_base_raw(g1, g1_gen, pow_tau_raw))
             tau2 = norm(g2, batch_mul_fixed_base_raw(g2, g2_gen, pow_tau_raw))
             target1 = norm(
                 g1, batch_mul_fixed_base_raw(g1, g1_gen, target_raw)
             )
-            kgamma1 = norm(
-                g1, batch_mul_fixed_base_raw(g1, g1_gen, kgamma_raw)
+            kg_raw, kg_n = pad_w(kgamma_raw)
+            kgamma1 = cut(
+                norm(g1, batch_mul_fixed_base_raw(g1, g1_gen, kg_raw)), kg_n
             )
             if kdelta_raw.shape[1] > 0:
-                kdelta1 = norm(
-                    g1, batch_mul_fixed_base_raw(g1, g1_gen, kdelta_raw)
+                kd_raw, kd_n = pad_w(kdelta_raw)
+                kdelta1 = cut(
+                    norm(g1, batch_mul_fixed_base_raw(g1, g1_gen, kd_raw)),
+                    kd_n,
                 )
             else:
                 kdelta1 = None
@@ -265,101 +280,38 @@ class Groth16DeviceProver:
             }
         return self._pk_dev
 
-    def prove_msms(self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2):
-        """Runs the 5 MSMs of Groth16.prove on device; returns host points
-        (msmA, msmB1, msmB2, msmHZ, msmKpriv)."""
+    def _prove_msms_impl(
+        self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2,
+        msm_g1, msm_g2, phase_name, pad_unit,
+    ):
+        """Shared body of the single-chip and sharded prove paths: QAP
+        evaluation, the five MSMs (via the injected msm_g1/msm_g2 callables),
+        and host conversion. pad_unit: lane-count multiple every MSM is
+        padded to (mesh size; 1 single-chip).
+
+        The K-private MSM is additionally padded up to the domain size n
+        whenever it fits: identity/zero lanes cost nothing, and the equal
+        shape reuses the n-sized Pippenger graph already compiled for
+        A/B1/HZ instead of compiling a second multi-minute variant."""
         from ..metrics import phase
+        from .sharding import pad_msm_to
 
         fr = self.fr
         g1 = get_group_spec(self.curve, 1)
         g2 = get_group_spec(self.curve, 2)
         with phase("groth16.prove.qap", items=self.n):
-            u, v, h, = self.evaluate_witness_device(witness_ints)
+            u, v, h = self.evaluate_witness_device(witness_ints)
         pkd = self.pk_device(pk)
 
         def trunc(P, k):
             return jax.tree_util.tree_map(lambda t: t[..., :k], P)
 
         n = self.n
-        with phase("groth16.prove.msm", items=4 * n):
-            msm_a = msm_device_raw(g1, trunc(pkd["tau1"], n), u)
-            msm_b1 = msm_device_raw(g1, trunc(pkd["tau1"], n), v)
-            msm_b2 = msm_device_raw(g2, trunc(pkd["tau2"], n), v)
-            msm_hz = msm_device_raw(g1, trunc(pkd["target1"], n), h)
-
-        out = [
-            g1.points_from_device(
-                jax.tree_util.tree_map(lambda t: t[..., None], r), point_cls_g1
-            )[0]
-            for r in (msm_a, msm_b1)
-        ]
-        out.append(
-            g2.points_from_device(
-                jax.tree_util.tree_map(lambda t: t[..., None], msm_b2), point_cls_g2
-            )[0]
-        )
-        out.append(
-            g1.points_from_device(
-                jax.tree_util.tree_map(lambda t: t[..., None], msm_hz), point_cls_g1
-            )[0]
-        )
-
-        if len(private_witness) > 0:
-            priv = jnp.asarray(
-                np.ascontiguousarray(
-                    ints_to_limbs(
-                        [int(x) % fr.p for x in private_witness], fr.nl
-                    ).T
-                )
-            )
-            msm_k = msm_device_raw(g1, pkd["kdelta1"], priv)
-            out.append(
-                g1.points_from_device(
-                    jax.tree_util.tree_map(lambda t: t[..., None], msm_k),
-                    point_cls_g1,
-                )[0]
-            )
-        else:
-            out.append(point_cls_g1.identity())
-        return out
-
-    def prove_msms_sharded(
-        self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2, mesh,
-        axis="shards",
-    ):
-        """Multi-chip prove: the five MSMs (the prover's FLOP budget) run
-        data-parallel over the mesh — proving-key point tensors and QAP
-        output scalars sharded along n, one all_gather of single-point
-        partials per MSM. The QAP evaluation (SpMV/NTTs, a small fraction of
-        the work) stays replicated. G2's B-MSM shards identically to G1.
-        """
-        from ..metrics import phase
-        from .sharding import pad_msm_operands, sharded_msm_fn
-
-        fr = self.fr
-        g1 = get_group_spec(self.curve, 1)
-        g2 = get_group_spec(self.curve, 2)
-        ndev = mesh.shape[axis]
-        with phase("groth16.prove.qap", items=self.n):
-            u, v, h = self.evaluate_witness_device(witness_ints)
-        pkd = self.pk_device(pk)
-
-        msm_g1 = sharded_msm_fn(g1, mesh, axis)
-        msm_g2 = sharded_msm_fn(g2, mesh, axis)
-
-        def trunc(Pts, k):
-            return jax.tree_util.tree_map(lambda t: t[..., :k], Pts)
-
-        def run(fn, gs, Pts, slimbs):
-            Pp, sp = pad_msm_operands(gs, Pts, slimbs, ndev)
-            return fn(Pp, sp)
-
-        n = self.n
-        with phase("groth16.prove.msm_sharded", items=4 * n):
-            msm_a = run(msm_g1, g1, trunc(pkd["tau1"], n), u)
-            msm_b1 = run(msm_g1, g1, trunc(pkd["tau1"], n), v)
-            msm_b2 = run(msm_g2, g2, trunc(pkd["tau2"], n), v)
-            msm_hz = run(msm_g1, g1, trunc(pkd["target1"], n), h)
+        with phase(phase_name, items=4 * n):
+            msm_a = msm_g1(trunc(pkd["tau1"], n), u)
+            msm_b1 = msm_g1(trunc(pkd["tau1"], n), v)
+            msm_b2 = msm_g2(trunc(pkd["tau2"], n), v)
+            msm_hz = msm_g1(trunc(pkd["target1"], n), h)
 
         def to_host(gs, res, cls):
             return gs.points_from_device(
@@ -377,8 +329,62 @@ class Groth16DeviceProver:
                     ).T
                 )
             )
-            msm_k = run(msm_g1, g1, pkd["kdelta1"], priv)
-            out.append(to_host(g1, msm_k, point_cls_g1))
+            kpriv = priv.shape[1]
+            target = n if kpriv <= n else kpriv + ((-kpriv) % pad_unit)
+            Pk, sk = pad_msm_to(g1, trunc(pkd["kdelta1"], kpriv), priv, target)
+            out.append(to_host(g1, msm_g1(Pk, sk), point_cls_g1))
         else:
             out.append(point_cls_g1.identity())
         return out
+
+    def prove_msms(self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2):
+        """Runs the 5 MSMs of Groth16.prove on device; returns host points
+        (msmA, msmB1, msmB2, msmHZ, msmKpriv)."""
+        g1 = get_group_spec(self.curve, 1)
+        g2 = get_group_spec(self.curve, 2)
+        return self._prove_msms_impl(
+            pk, witness_ints, private_witness, point_cls_g1, point_cls_g2,
+            lambda P, s: msm_device_raw(g1, P, s),
+            lambda P, s: msm_device_raw(g2, P, s),
+            "groth16.prove.msm", 1,
+        )
+
+    def prove_msms_sharded(
+        self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2, mesh,
+        axis="shards",
+    ):
+        """Multi-chip prove: the five MSMs (the prover's FLOP budget) run
+        data-parallel over the mesh — proving-key point tensors and QAP
+        output scalars sharded along n, one all_gather of single-point
+        partials per MSM. The QAP evaluation (SpMV/NTTs, a small fraction of
+        the work) stays replicated. G2's B-MSM shards identically to G1.
+        """
+        from .sharding import pad_msm_operands, sharded_msm_fn
+
+        g1 = get_group_spec(self.curve, 1)
+        g2 = get_group_spec(self.curve, 2)
+        ndev = mesh.shape[axis]
+        # jit-wrapped per prover instance: repeated prove() calls re-use the
+        # traced/compiled sharded-MSM graphs instead of re-tracing
+        if not hasattr(self, "_sharded_msm_cache"):
+            self._sharded_msm_cache = {}
+        key = (id(mesh), axis)
+        if key not in self._sharded_msm_cache:
+            self._sharded_msm_cache[key] = (
+                jax.jit(sharded_msm_fn(g1, mesh, axis)),
+                jax.jit(sharded_msm_fn(g2, mesh, axis)),
+            )
+        msm_g1, msm_g2 = self._sharded_msm_cache[key]
+
+        def run(fn, gs):
+            def go(Pts, slimbs):
+                Pp, sp = pad_msm_operands(gs, Pts, slimbs, ndev)
+                return fn(Pp, sp)
+
+            return go
+
+        return self._prove_msms_impl(
+            pk, witness_ints, private_witness, point_cls_g1, point_cls_g2,
+            run(msm_g1, g1), run(msm_g2, g2),
+            "groth16.prove.msm_sharded", ndev,
+        )
