@@ -136,8 +136,11 @@ class _Kernels:
 # only (X, Y) per point — 2/3 of the HBM traffic of projective adds.
 #
 # Bucket reduction computes sum_b (b+1)*S_b as the sum of ALL suffix sums
-# (log-depth roll scans); windows combine by Horner under one lax.scan so the
-# whole MSM compiles a single window body.
+# (log-depth roll scans) — batched over EVERY window at once after the
+# accumulation scan (narrow per-window reductions were dispatch-overhead
+# bound); windows then combine by a Horner fori over the window sums. The
+# accumulation itself still runs under one lax.scan so the whole MSM
+# compiles a single window body.
 # ------------------------------------------------------------------
 
 
@@ -184,8 +187,15 @@ def _signed_window_digits(slimbs, c, nbits):
 # of the split (G windows per launch merely reshapes it).
 import os as _os
 
-PALLAS_LANE_CAP_G1 = int(_os.environ.get("ZKSNAKE_PALLAS_LANE_CAP", "4096"))
-PALLAS_LANE_CAP_G2 = PALLAS_LANE_CAP_G1 // 2
+# Default G1 cap; module attribute kept patchable for tests. G2's Fq2 lanes
+# carry twice the limbs, so its cap is half. Read at call time via
+# _lane_cap() so the env var behaves like every other knob in the codebase.
+PALLAS_LANE_CAP_G1 = 4096
+
+
+def _lane_cap(group):
+    base = int(_os.environ.get("ZKSNAKE_PALLAS_LANE_CAP", PALLAS_LANE_CAP_G1))
+    return base if group == 1 else base // 2
 
 
 def msm_pippenger(gs, P, slimbs, c=13):
@@ -202,13 +212,40 @@ def msm_pippenger(gs, P, slimbs, c=13):
 
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
+    use_pallas_buckets = pallas_field.pallas_available() and n >= PALLAS_MSM_MIN
+    if use_pallas_buckets:
+        cap = _lane_cap(gs.group)
+        # one window's bucket array (2^(c-1) lanes) must fit the VMEM lane
+        # cap — clamp c rather than silently launching over-cap (the G2 cap
+        # was previously a no-op whenever B2 > cap)
+        c = min(c, cap.bit_length())
     B2 = 1 << (c - 1)  # bucket lane b holds the sum of points with |d| = b+1
     digits = _signed_window_digits(slimbs, c, nbits)  # (W, N) high-first
     W_total = digits.shape[0]
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    use_pallas_buckets = pallas_field.pallas_available() and n >= PALLAS_MSM_MIN
+
+    # ---- top-window skew fix (sub-bucket spreading) ----
+    # Scalars are < min(r, 2^nbits), so the HIGHEST window's |digit| is
+    # bounded by V ~ bound >> c*(W-1) — often FAR fewer than B2 distinct
+    # values (BN254 at c=13: V ~ 49). Without correction its mean bucket
+    # run is n/V (~21k at 2^20), which blows past the static round budget
+    # and sent every MSM through the while_loop fallback for that window
+    # (measured: the top window alone cost ~5s of a 7.1s MSM). Spread each
+    # true bucket across S = B2/next_pow2(V) sub-accumulator lanes by
+    # recoding |d| -> (i mod S)*V_cap + |d| (sign untouched): runs shorten
+    # to ~n/B2 like every other window, and the sub-accumulators collapse
+    # with log2(S) extra point-adds before the weighted reduction.
+    bound = min(gs.curve.r, (1 << nbits) - 1)
+    V_top = (bound >> (c * (W_total - 1))) + 2 if W_total > 1 else B2
+    V_cap = _next_pow2(max(V_top, 2))
+    S_top = B2 // V_cap if V_cap < B2 else 1
+    if S_top > 1:
+        d_top = digits[0]
+        j = (jnp.arange(n, dtype=jnp.int32) % S_top) * V_cap
+        mag0 = jnp.abs(d_top)
+        pseudo = jnp.where(mag0 > 0, j + mag0, 0)
+        d_top = jnp.where(d_top < 0, -pseudo, pseudo)
+        digits = jnp.concatenate([d_top[None], digits[1:]], axis=0)
     if use_pallas_buckets:
-        cap = PALLAS_LANE_CAP_G1 if gs.group == 1 else PALLAS_LANE_CAP_G2
         # G also bounds trace size (the slow-path fallback unrolls G
         # while_loops and the Horner fold unrolls G segments)
         G = max(1, min(W_total, cap // B2, 8))
@@ -249,7 +286,7 @@ def msm_pippenger(gs, P, slimbs, c=13):
     y_tdef = jax.tree_util.tree_structure(Y)
     LX, LY = len(xpk_leaves), len(ypk_leaves)
 
-    def chunk_body(result, dgroup):
+    def chunk_body(_carry, dgroup):
         # Payload sort by |digit| (one lax.sort carrying all packed limb
         # planes: ~17 operands for G1 — measured 30ms at 2^20/33 operands on
         # v5e — vs argsort + two rounds of take_along_axis gathers): after
@@ -277,32 +314,22 @@ def msm_pippenger(gs, P, slimbs, c=13):
             for i in range(LX + LY)
         ]  # packed (PL, G, n) per coordinate leaf
 
-        is_start = jnp.concatenate(
-            [jnp.ones((G, 1), jnp.bool_), ms[:, 1:] != ms[:, :-1]], axis=1
-        )
-        run_start = jax.lax.cummax(
-            jnp.where(is_start, iota_n[None], 0), axis=1
-        )
-        rank = iota_n[None] - run_start
+        # run boundaries per (window, bucket) via binary search on the
+        # sorted magnitudes — two vmapped searchsorted calls (log-depth
+        # gathers) instead of two 2^20-update scatters (TPU scatters
+        # serialize and dominated the non-kernel time)
+        bvals = jnp.arange(1, B2 + 1, dtype=ms.dtype)
+        lo = jax.vmap(
+            lambda row: jnp.searchsorted(row, bvals, side="left")
+        )(ms).astype(jnp.int32)
+        hi = jax.vmap(
+            lambda row: jnp.searchsorted(row, bvals, side="right")
+        )(ms).astype(jnp.int32)
+        starts_by_digit = lo  # (G, B2)
+        len_by_digit = hi - lo
+        has_digit = len_by_digit > 0
         # the |d| = 0 run never contributes adds, so it doesn't bound rounds
-        maxrun = jnp.max(jnp.where(ms > 0, rank, 0)) + 1
-
-        # scatter run metadata by (window, bucket); the |d| = 0 run routes to
-        # index B2 (out of bounds, dropped) so it can't clobber bucket 0
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, n), 0)
-        bidx = jnp.where(ms > 0, ms - 1, B2)
-        starts_by_digit = (
-            jnp.zeros((G, B2), jnp.int32)
-            .at[gidx, bidx]
-            .set(run_start, mode="drop")
-        )
-        ends_by_digit = (
-            jnp.full((G, B2), -1, jnp.int32)
-            .at[gidx, bidx]
-            .max(jnp.broadcast_to(iota_n[None], (G, n)), mode="drop")
-        )
-        len_by_digit = ends_by_digit - starts_by_digit + 1
-        has_digit = ends_by_digit >= 0
+        maxrun = jnp.max(len_by_digit)
 
         def _accum_loop(g):
             """while_loop bucket accumulation for window g (fallback path);
@@ -333,23 +360,6 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 lambda *ts: jnp.stack(ts, axis=1), *per_w
             )
 
-        def _reduce_jnp(buckets):
-            # weighted reduction (batched over the G window axis):
-            # sum_b (b+1)*S_b = sum_{b>=0} T_b, T_b = sum_{j>=b} S_j —
-            # suffix sums via log-depth roll scan on the trailing bucket axis
-            iota_b = jnp.arange(B2, dtype=jnp.int32)
-
-            def suffix_body(i, T):
-                sh = 1 << i
-                Q = jax.tree_util.tree_map(
-                    lambda t: jnp.roll(t, -sh, axis=-1), T
-                )
-                cand = gs.add(T, Q)
-                return gs.select(iota_b < B2 - sh, cand, T)
-
-            T = jax.lax.fori_loop(0, c - 1, suffix_body, buckets)
-            return _tree_reduce(gs, T, B2)  # (NL, G) leaves
-
         if use_pallas_buckets:
             # one pallas launch streams R rounds of the packed round table
             # through a VMEM-resident (G*B2)-lane bucket accumulator; the
@@ -358,7 +368,13 @@ def msm_pippenger(gs, P, slimbs, c=13):
             # (measured 2.7 / 3.2 GB/s on v5e) — and the weighted reduction
             # runs as a compact jnp fori graph. Degenerate digit skew (a run
             # longer than R_static) falls back to the while_loop + jnp path.
-            R_static = int(min(n, n // B2 + 129))
+            # static round budget: mean run length + 5.5 sigma of the
+            # per-bucket binomial (p(any bucket overflows) ~ 1e-4 per
+            # window at 2^20/c=13; overflow falls back to the while_loop
+            # path — correct, just slower). The old flat +129 slack spent
+            # ~50% extra rounds; this spends ~34% at 2^20.
+            mean_run = max(n // B2, 1)
+            R_static = int(min(n, mean_run + max(16, int(5.5 * mean_run**0.5) + 1)))
             R_static = -(-R_static // 8) * 8
 
             def _chunk_pallas(_):
@@ -374,17 +390,17 @@ def msm_pippenger(gs, P, slimbs, c=13):
                     ((0, 0), (0, R_static)),
                 )
                 NP = (LX + LY) * PL
-
-                def body(_, s):
-                    return None, jax.lax.dynamic_slice(
-                        src, (0, s), (NP, R_static)
-                    )
-
-                _, t = jax.lax.scan(body, None, starts_flat)
-                # (G*B2, NP, R) -> (R, NP, G*B2): the round axis MUST lead
-                # (Mosaic blocks along leading dims only; a second-minor
-                # block dim of 1 on a 392-sized axis is rejected)
-                table = jnp.transpose(t, (2, 1, 0))
+                # ONE flat gather builds the whole round table (measured
+                # 2.9 GB/s on v5e); the earlier scan-of-dynamic-slices ran
+                # G*B2 serialized scan steps per window and its per-step
+                # overhead dominated the MSM. The round axis MUST lead in
+                # the final layout (Mosaic blocks along leading dims only;
+                # a second-minor block dim of 1 on a ~350-sized axis is
+                # rejected).
+                kcol = jnp.arange(R_static, dtype=jnp.int32)[None, :]
+                pos = (starts_flat[:, None] + kcol).reshape(-1)
+                t = jnp.take(src, pos, axis=1).reshape(NP, G * B2, R_static)
+                table = jnp.transpose(t, (2, 0, 1))
                 kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
                 valid = (
                     has_digit.reshape(1, G * B2)
@@ -393,34 +409,82 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 buckets = pallas_field.bucket_accumulate_pallas(
                     gs, table, valid, R_static, G * B2
                 )
-                buckets = jax.tree_util.tree_map(
+                return jax.tree_util.tree_map(
                     lambda t_: t_.reshape(t_.shape[0], G, B2), buckets
                 )
-                return _reduce_jnp(buckets)
 
-            def _chunk_slow(_):
-                return _reduce_jnp(_accum_all_slow())
-
-            wsums = jax.lax.cond(
-                maxrun <= R_static, _chunk_pallas, _chunk_slow, None
+            buckets = jax.lax.cond(
+                maxrun <= R_static, _chunk_pallas, lambda _: _accum_all_slow(), None
             )
         else:
-            wsums = _reduce_jnp(_accum_all_slow())
+            buckets = _accum_all_slow()
+        return None, buckets
 
-        # Horner across the chunk's windows (high window first):
-        # result <- result * 2^c + wsum_j
-        for j in range(G):
-            result = jax.lax.fori_loop(
-                0, c, lambda i, R: gs.double(R), result
-            )
-            result = gs.add(
-                result,
-                jax.tree_util.tree_map(lambda t: t[..., j], wsums),
-            )
-        return result, None
+    # the scan only ACCUMULATES buckets; the weighted reduction runs ONCE
+    # over every window's bucket array at full width below. (Reducing
+    # inside the scan ran 20 narrow (NL, G, B2) reductions — per-op
+    # dispatch overhead at 4096 lanes dominated the whole MSM: measured
+    # ~0.03s/window of pure reduction vs 0.075s/window of bucket kernel,
+    # plus the sequential Horner between chunks serialized everything.)
+    _, bucket_chunks = jax.lax.scan(chunk_body, None, dchunks)
+    # leaves (Wp/G, NL, G, B2) -> (NL, Wp, B2)
+    buckets = jax.tree_util.tree_map(
+        lambda t: jnp.moveaxis(t, 0, 1).reshape(t.shape[1], Wp, B2),
+        bucket_chunks,
+    )
 
-    result, _ = jax.lax.scan(chunk_body, gs.identity(()), dchunks)
-    return result
+    if S_top > 1:
+        # collapse the top window's sub-accumulators: lane j*V_cap + (b-1)
+        # holds a partial sum of true bucket b; log2(S) point-adds fold the
+        # S slots, then identity-padding restores the (B2,) lane layout so
+        # the batched weighted reduction's (m+1) weights equal b.
+        wt = Wp - W_total
+
+        top = jax.tree_util.tree_map(
+            lambda t: jnp.swapaxes(
+                t[:, wt].reshape(t.shape[0], S_top, V_cap), 1, 2
+            ),
+            buckets,
+        )
+        top = _tree_reduce(gs, top, S_top)  # (NL, V_cap) leaves
+        ident = gs.identity((B2 - V_cap,))
+        padded = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=-1), top, ident
+        )
+        buckets = jax.tree_util.tree_map(
+            lambda t, pw: jnp.concatenate(
+                [t[:, :wt], pw[:, None], t[:, wt + 1 :]], axis=1
+            ),
+            buckets,
+            padded,
+        )
+
+    # weighted reduction, batched over ALL windows at once:
+    # sum_b (b+1)*S_b = sum_{b>=0} T_b, T_b = sum_{j>=b} S_j —
+    # suffix sums via log-depth roll scan on the trailing bucket axis
+    iota_b = jnp.arange(B2, dtype=jnp.int32)
+
+    def suffix_body(i, T):
+        sh = 1 << i
+        Q = jax.tree_util.tree_map(lambda t: jnp.roll(t, -sh, axis=-1), T)
+        cand = gs.add(T, Q)
+        return gs.select(iota_b < B2 - sh, cand, T)
+
+    T = jax.lax.fori_loop(0, c - 1, suffix_body, buckets)
+    wsums = _tree_reduce(gs, T, B2)  # (NL, Wp) leaves
+
+    # Horner across windows (high window first): result <- result * 2^c + w_j
+    def horner(j, Rpt):
+        Rpt = jax.lax.fori_loop(0, c, lambda i, Q: gs.double(Q), Rpt)
+        wj = jax.tree_util.tree_map(
+            lambda t: jax.lax.dynamic_index_in_dim(
+                t, j, axis=-1, keepdims=False
+            ),
+            wsums,
+        )
+        return gs.add(Rpt, wj)
+
+    return jax.lax.fori_loop(0, Wp, horner, gs.identity(()))
 
 
 def _pick_window(n):
