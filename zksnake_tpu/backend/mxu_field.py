@@ -88,7 +88,15 @@ def _matmul_bytes(mat, out_rows, planes):
     partial sum stays < 2^24, so the result is exact integer arithmetic
     on the MXU."""
     K = len(planes)
-    stacked = jnp.stack(planes, axis=0).astype(jnp.bfloat16)
+    # uint32 -> int32 -> float32 -> bf16: Mosaic has no direct u32->bf16
+    # cast (real-hardware lowering failure; byte values 0..255 are exact
+    # through every step)
+    stacked = (
+        jnp.stack(planes, axis=0)
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+        .astype(jnp.bfloat16)
+    )
     flat = stacked.reshape(K, -1)
     out = jax.lax.dot_general(
         mat,
@@ -112,6 +120,18 @@ def mont_mul_mxu_cols(fs, a, b, shape, mats=None):
     if mats is None:
         mats = _KERNEL_MATS.get(fs.p)
     if mats is None:
+        from . import pallas_field
+
+        if pallas_field._STATE["in_kernel"]:
+            # Building the matrices here would close over constant arrays —
+            # forbidden inside Pallas kernel bodies (obscure Mosaic failure).
+            # Kernels must take PMAT/PPMAT as inputs and publish them via
+            # pallas_field._published_mats.
+            raise RuntimeError(
+                "mont_mul_mxu_cols traced inside a Pallas kernel without "
+                f"published reduction matrices for p={hex(fs.p)[:18]}…; "
+                "pass them as kernel inputs (see pallas_field._mxu_mats)"
+            )
         mats = reduction_mats_dev(fs)
     PMAT, PPMAT = mats
 
