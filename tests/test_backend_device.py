@@ -243,3 +243,32 @@ def test_groth16_device_setup_matches_host(monkeypatch):
 
     proof = dev.prove(pub, priv)
     assert dev.verify(proof, pub)
+
+
+def test_sumcheck_device_rounds_match_host(monkeypatch):
+    """The device-resident sumcheck driver (backend/mle.py
+    DeviceSumcheckTable) produces byte-identical round polynomials and
+    challenges to the host partial-evaluate path, and actually runs."""
+    from zksnake_tpu.backend import config as _c
+    from zksnake_tpu.backend import mle as _mle
+    from zksnake_tpu.polynomial import MultilinearPolynomial
+    from zksnake_tpu.subprotocol.sumcheck import Sumcheck
+
+    random.seed(21)
+    nv = 7
+    entries = [(i, random.randrange(P)) for i in range(1 << nv) if i % 5]
+    poly = MultilinearPolynomial(nv, entries, P)
+    sc = Sumcheck(nv, P)
+
+    monkeypatch.setattr(_c, "MLE_DEVICE_THRESHOLD", 1)
+    before = _mle.SUMCHECK_DEVICE_ROUNDS
+    claim_d, proof_d, chal_d = sc.prove(poly)
+    assert _mle.SUMCHECK_DEVICE_ROUNDS >= before + nv, "device path did not run"
+
+    monkeypatch.setattr(_c, "MLE_DEVICE_THRESHOLD", 1 << 62)  # force host
+    claim_h, proof_h, chal_h = sc.prove(poly)
+
+    assert claim_d == claim_h
+    assert chal_d == chal_h
+    assert [u.coeffs() for u in proof_d] == [u.coeffs() for u in proof_h]
+    assert sc.verify(claim_d, proof_d, 3, mlpoly=poly)

@@ -78,8 +78,45 @@ class Sumcheck:
         return round_polys, challenges
 
     def prove(self, mlpoly, transcript=None):
-        """Sumcheck for a plain multilinear polynomial."""
+        """Sumcheck for a plain multilinear polynomial.
+
+        Large dense tables ride a device-resident driver (backend/mle.py
+        DeviceSumcheckTable): a plain MLE's round polynomial is linear, so
+        each round pulls just the two half-sums from the device and each
+        challenge folds the table in place — instead of 4 full partial
+        evaluations (dense-table host round-trips) per round. Transcript
+        bytes are identical: the same 4-point interpolation is built from
+        g(x) = S0 + x*(S1 - S0)."""
         assert mlpoly.num_vars == self.n
+        from ..backend import mle as _dev_mle
+
+        drv = _dev_mle.sumcheck_driver(
+            self.order, mlpoly.num_vars, mlpoly.evals
+        )
+        if drv is not None:
+            p = self.order
+            domain = get_all_evaluation_points(3, p)
+
+            def interp():
+                s0, s1 = drv.round_sums()
+                step = (s1 - s0) % p
+                sums = [(s0 + x * step) % p for x in domain]
+                return Polynomial(ifft(sums, p), p)
+
+            def nxt(rs):
+                drv.fold(rs[-1])
+                return interp()
+
+            first_uni = interp()
+            claim = (first_uni(0) + first_uni(1)) % p
+            proof, challenges = self._drive_rounds(
+                claim,
+                lambda: first_uni,
+                nxt,
+                transcript or self._fresh_transcript(),
+            )
+            return claim, proof, challenges
+
         claim = sum(mlpoly.to_evaluations()) % self.order
         proof, challenges = self._drive_rounds(
             claim,
