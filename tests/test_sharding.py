@@ -1,27 +1,19 @@
 """Multi-chip sharding regression tests on an 8-virtual-CPU-device mesh
 (SURVEY.md §4: CPU-mesh tests via xla_force_host_platform_device_count).
 
-The default suite runs the collective primitives (sharded G1 MSM with the
-all_gather partial combine, the four-step NTT with its all_to_all transpose)
-at sizes whose graphs are fori-loop-bounded, so cold compiles stay tractable
-(warm runs replay from the persistent cache in seconds). The G2 MSM (3x the
-montmul instantiations via Fq2), the padding case, and the sharded
-end-to-end Groth16 prove are opt-in under ZKSNAKE_DEVICE_TESTS=1; all of
-them also run every round in __graft_entry__.dryrun_multichip (e2e at 2^14
-constraints).
+ALL collective paths run in the default suite — sharded G1 AND G2 MSM
+(all_gather partial combine), the identity-padding case, the four-step NTT
+(all_to_all transpose), and a small sharded end-to-end Groth16 prove —
+so multi-chip correctness evidence never depends on a single driver
+dryrun (the round-2 failure mode). Sizes are chosen so every graph is
+fori-loop-bounded: cold XLA-CPU compiles stay in the minutes range and
+warm runs replay from the persistent cache in seconds.
 """
 
-import os
 import random
 
 import numpy as np
 import pytest
-
-DEVICE_TESTS = os.environ.get("ZKSNAKE_DEVICE_TESTS", "0") == "1"
-heavy = pytest.mark.skipif(
-    not DEVICE_TESTS,
-    reason="montmul-heavy cold compile; covered every round by dryrun_multichip",
-)
 
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
@@ -52,9 +44,7 @@ def _mesh():
     return make_mesh(n_devices=NDEV, devices=cpus)
 
 
-@pytest.mark.parametrize(
-    "group", [1, pytest.param(2, marks=heavy)], ids=["G1", "G2"]
-)
+@pytest.mark.parametrize("group", [1, 2], ids=["G1", "G2"])
 def test_sharded_msm_matches_host(group):
     mesh = _mesh()
     curve = ec_bn254._curve
@@ -83,7 +73,6 @@ def test_sharded_msm_matches_host(group):
     assert got == want
 
 
-@heavy
 def test_sharded_msm_identity_padding():
     """pad_msm_operands: identity points / zero scalars change nothing."""
     mesh = _mesh()
@@ -133,7 +122,6 @@ def test_sharded_fourstep_ntt_matches_host():
     assert got == want
 
 
-@heavy
 def test_sharded_groth16_prove_verifies(monkeypatch):
     """End-to-end: Groth16(mesh=...) proves over the 8-device mesh (five
     sharded MSMs, G2 included) and the proof verifies."""

@@ -46,6 +46,15 @@ class Plonk:
     def __init__(self, constraints: Plonkish, curve: str = "BN254"):
         self.E = EllipticCurve(curve)
         self.order = self.E.order
+        if getattr(constraints, "p", self.order) != self.order:
+            # the reference silently proves over the wrong field when the
+            # Plonkish was compiled for another curve (its public-input
+            # negation uses Plonkish.p) — fail loudly instead; divergence
+            # documented in PARITY.md (invalid-usage guard only)
+            raise ValueError(
+                "Plonkish was built for a different curve/field than "
+                f"{curve}: pass the same curve to Plonkish(cs, curve)"
+            )
         self.constraints = constraints
         self.label = "PlonK"
         self.G1_tau = None
