@@ -42,6 +42,7 @@ class Groth16DeviceProver:
         self.dom = Domain.get(curve, self.n)
         self.dom2 = Domain.get(curve, 2 * self.n)
         fr = self.fr
+        self._qap = qap  # raw triplets (sharded-QAP prep re-splits them)
         self.A = DeviceSparseMatrix.from_sparse_array(fr, qap.a)
         self.B = DeviceSparseMatrix.from_sparse_array(fr, qap.b)
         self.C = DeviceSparseMatrix.from_sparse_array(fr, qap.c)
@@ -49,6 +50,8 @@ class Groth16DeviceProver:
         self._kernel = None
         self._setup_kernel = None
         self._w_pows = None
+        self._sqap = {}
+        self._pk_perm = None
 
     def _spmv(self, mat, w_mont):
         terms = mont_mul(self.fr, mat.vals, w_mont[:, mat.cols])
@@ -112,6 +115,175 @@ class Groth16DeviceProver:
         if not bool(ok):
             raise ValueError("(U * V - W) did not divided by Z to zero")
         return u, v, h
+
+    # ------------------------------------------------------------------
+    # Fully-sharded QAP evaluation (multi-chip witness -> U, V, H)
+    #
+    # The whole pipeline — strided-row SpMV, 3x inverse four-step NTT, 2x
+    # forward 2n four-step, pointwise product, inverse 2n four-step, and
+    # the X^n - 1 division — runs INSIDE one shard_map: each four-step's
+    # transposed output layout is exactly the next transform's input
+    # layout (FourStepPlan docstring), so the only collectives are the
+    # four-steps' own all_to_alls plus one psum for the divisibility flag.
+    # Outputs stay sharded in the "pos" layout pos = k2*n1 + k1 for coeff
+    # index m = k2 + n2*k1; the MSMs consume them directly against a
+    # once-permuted proving key (_pk_permuted).
+    # ------------------------------------------------------------------
+
+    def _sharded_qap(self, mesh, axis):
+        import os
+
+        key = (id(mesh), axis)
+        if key in self._sqap:
+            return self._sqap[key]
+        out = None
+        if os.environ.get("ZKSNAKE_SHARDED_QAP", "1") == "1":
+            out = self._build_sharded_qap(mesh, axis)
+        self._sqap[key] = out
+        return out
+
+    def _build_sharded_qap(self, mesh, axis):
+        from jax.sharding import PartitionSpec as P
+        from .sharding import FourStepPlan
+        from .spmv import reduce_wide
+
+        fr = self.fr
+        r = fr.p
+        n = self.n
+        D = mesh.shape[axis]
+        k = n.bit_length() - 1
+        n1 = 1 << (k // 2)
+        n2 = n // n1
+        if n1 % D or n2 % D or (2 * n1) % D:
+            return None  # mesh does not divide the split; replicated QAP
+
+        plan1 = FourStepPlan(fr, r, n1, n2, self.dom.omega_inv,
+                             scale=pow(n, -1, r))
+        plan2 = FourStepPlan(fr, r, n2, 2 * n1, self.dom2.omega)
+        plan3 = FourStepPlan(fr, r, 2 * n1, n2, self.dom2.omega_inv,
+                             scale=pow(2 * n, -1, r))
+
+        # per-device triplets for A|B|C stacked into ONE SpMV: constraint
+        # row `row` lives at (i1, i2) = (row % n1, row // n1); device
+        # i1 // (n1/D) owns it; segment id = matrix*rows_local + local row
+        rows1 = n1 // D
+        rows_local = rows1 * n2
+        per_dev = [[] for _ in range(D)]
+        for m_i, sa in enumerate((self._qap.a, self._qap.b, self._qap.c)):
+            for row, col, val in sa.triplets:
+                i1, i2 = row % n1, row // n1
+                d = i1 // rows1
+                lid = (i1 % rows1) * n2 + i2
+                per_dev[d].append((m_i * rows_local + lid, col, int(val) % r))
+        nnz_max = max(max((len(x) for x in per_dev), default=1), 1)
+        segs = np.full((D, nnz_max), 3 * rows_local - 1, np.int32)
+        cols = np.zeros((D, nnz_max), np.int32)
+        vals = np.zeros((D, fr.nl, nnz_max), np.uint32)
+        for d, lst in enumerate(per_dev):
+            lst.sort()
+            if lst:
+                segs[d, : len(lst)] = [t[0] for t in lst]
+                cols[d, : len(lst)] = [t[1] for t in lst]
+                vals[d, :, : len(lst)] = fr.to_mont_host([t[2] for t in lst])
+        # padding rides the LAST segment with value 0 (keeps ids sorted)
+
+        segs_d = jnp.asarray(segs)
+        cols_d = jnp.asarray(cols)
+        vals_d = jnp.asarray(vals)
+        tws = (plan1.tw_dev(), plan2.tw_dev(), plan3.tw_dev())
+
+        def local_qap(w_raw, vals_l, cols_l, segs_l, tw1, tw2, tw3):
+            vals_l, cols_l, segs_l = vals_l[0], cols_l[0], segs_l[0]
+            w = to_mont(fr, w_raw)
+            terms = mont_mul(fr, vals_l, w[:, cols_l])
+            sums = jax.ops.segment_sum(
+                terms.T, segs_l,
+                num_segments=3 * rows_local,
+                indices_are_sorted=True,
+            )
+            abc = reduce_wide(fr, sums.T).reshape(fr.nl, 3, rows1, n2)
+            uvw = plan1.local(abc, tw1, axis)  # (nl, 3, n2/D, n1) coeffs
+            wp = uvw[:, 2]
+            zpad = jnp.zeros_like(uvw[:, :2])
+            uv2 = jnp.concatenate([uvw[:, :2], zpad], axis=-1)
+            ev = plan2.local(uv2, tw2, axis)  # (nl, 2, 2n1/D, n2) evals
+            prod = mont_mul(fr, ev[:, 0], ev[:, 1])
+            qc = plan3.local(prod, tw3, axis)  # (nl, n2/D, 2n1) coeffs
+            t_lo = mod_sub(fr, qc[..., :n1], wp)
+            h = qc[..., n1:]
+            r_col = mod_add(fr, t_lo, h)
+            bad = jnp.any(r_col != 0).astype(jnp.uint32)
+            ok = jax.lax.psum(bad, axis) == 0
+            return (
+                from_mont(fr, uvw[:, 0]),
+                from_mont(fr, uvw[:, 1]),
+                from_mont(fr, h),
+                ok,
+            )
+
+        sharded = jax.jit(
+            jax.shard_map(
+                local_qap,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None),
+                    P(axis, None, None),
+                    P(axis, None),
+                    P(axis, None),
+                    P(None, axis, None),
+                    P(None, axis, None),
+                    P(None, axis, None),
+                ),
+                out_specs=(
+                    P(None, axis, None),
+                    P(None, axis, None),
+                    P(None, axis, None),
+                    P(),
+                ),
+                check_vma=False,
+            )
+        )
+
+        def eval_fn(witness_ints):
+            w_raw = jnp.asarray(
+                np.ascontiguousarray(
+                    ints_to_limbs(
+                        [int(x) % fr.p for x in witness_ints], fr.nl
+                    ).T
+                )
+            )
+            u, v, h, ok = sharded(
+                w_raw, vals_d, cols_d, segs_d, *tws
+            )
+            if not bool(ok):
+                raise ValueError("(U * V - W) did not divided by Z to zero")
+            return (
+                u.reshape(fr.nl, n),
+                v.reshape(fr.nl, n),
+                h.reshape(fr.nl, n),
+            )
+
+        eval_fn.n1, eval_fn.n2 = n1, n2
+        return eval_fn
+
+    def _pk_permuted(self, pkd, n1, n2):
+        """PK point tensors permuted into the sharded QAP's pos layout
+        (pos = k2*n1 + k1 holds coeff m = k2 + n2*k1); computed once."""
+        if self._pk_perm is None:
+            n = self.n
+            pos = np.arange(n)
+            idx = jnp.asarray((pos // n1) + n2 * (pos % n1))
+
+            def perm(P):
+                return jax.tree_util.tree_map(
+                    lambda t: t[..., :n][..., idx], P
+                )
+
+            self._pk_perm = {
+                name: perm(pkd[name]) for name in ("tau1", "tau2", "target1")
+            }
+            self._pk_perm["kdelta1"] = pkd["kdelta1"]
+        return self._pk_perm
 
     # ------------------------------------------------------------------
     # Device-resident trusted setup
@@ -282,7 +454,8 @@ class Groth16DeviceProver:
 
     def _prove_msms_impl(
         self, pk, witness_ints, private_witness, point_cls_g1, point_cls_g2,
-        msm_g1, msm_g2, phase_name, pad_unit,
+        msm_g1, msm_g2, phase_name, pad_unit, qap_fn=None, pk_view=None,
+        qap_phase="groth16.prove.qap",
     ):
         """Shared body of the single-chip and sharded prove paths: QAP
         evaluation, the five MSMs (via the injected msm_g1/msm_g2 callables),
@@ -299,19 +472,23 @@ class Groth16DeviceProver:
         fr = self.fr
         g1 = get_group_spec(self.curve, 1)
         g2 = get_group_spec(self.curve, 2)
-        with phase("groth16.prove.qap", items=self.n):
-            u, v, h = self.evaluate_witness_device(witness_ints)
+        with phase(qap_phase, items=self.n):
+            u, v, h = (qap_fn or self.evaluate_witness_device)(witness_ints)
         pkd = self.pk_device(pk)
+        # a sharded QAP leaves u/v/h in its pos layout; the MSM pairs
+        # points with scalars lane-by-lane, so the PK rides the same
+        # (cached) permutation — K-private stays in natural order
+        pk_msm = pk_view(pkd) if pk_view is not None else pkd
 
         def trunc(P, k):
             return jax.tree_util.tree_map(lambda t: t[..., :k], P)
 
         n = self.n
         with phase(phase_name, items=4 * n):
-            msm_a = msm_g1(trunc(pkd["tau1"], n), u)
-            msm_b1 = msm_g1(trunc(pkd["tau1"], n), v)
-            msm_b2 = msm_g2(trunc(pkd["tau2"], n), v)
-            msm_hz = msm_g1(trunc(pkd["target1"], n), h)
+            msm_a = msm_g1(trunc(pk_msm["tau1"], n), u)
+            msm_b1 = msm_g1(trunc(pk_msm["tau1"], n), v)
+            msm_b2 = msm_g2(trunc(pk_msm["tau2"], n), v)
+            msm_hz = msm_g1(trunc(pk_msm["target1"], n), h)
 
         def to_host(gs, res, cls):
             return gs.points_from_device(
@@ -383,8 +560,19 @@ class Groth16DeviceProver:
 
             return go
 
+        sq = self._sharded_qap(mesh, axis)
         return self._prove_msms_impl(
             pk, witness_ints, private_witness, point_cls_g1, point_cls_g2,
             run(msm_g1, g1), run(msm_g2, g2),
             "groth16.prove.msm_sharded", ndev,
+            qap_fn=sq,
+            pk_view=(
+                (lambda pkd: self._pk_permuted(pkd, sq.n1, sq.n2))
+                if sq is not None
+                else None
+            ),
+            qap_phase=(
+                "groth16.prove.qap_sharded" if sq is not None
+                else "groth16.prove.qap"
+            ),
         )

@@ -132,87 +132,119 @@ def pad_msm_operands(gs, Pts, slimbs, ndev):
 # ---------------------------------------------------------------- NTT ----
 
 
-def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
-    """Distributed four-step NTT over domain `dom` of size n = n1 * n2.
+class _SubDomain:
+    """Ad-hoc NTT sub-domain (borrows Domain's cached device tables)."""
 
-    Input: coefficients as an (nl, n1, n2) limb tensor with the n1 axis
-    sharded, where coeff index j = i1 + n1 * i2 lives at [:, i1, i2].
-    Output: evaluations as (nl, n2, n1) with the n2 axis sharded, where
-    A[k2 + n2 * k1] lives at [:, k2, k1] (the natural four-step output
-    transpose; callers undo it on gather or keep working in-layout).
+    def __init__(self, fs, r, omega, size):
+        self.fs = fs
+        self.r = r
+        self.n = size
+        self.omega = omega
+        self.omega_inv = pow(omega, -1, r)
+        self.n_inv = pow(size, -1, r)
+        w = 1
+        self.powers_host = []
+        for _ in range(max(size // 2, 1)):
+            self.powers_host.append(w)
+            w = w * omega % r
+        self._tw = None
+        self._tw_inv = None
+        self._bitrev = None
+
+    twiddles = Domain.twiddles
+    bitrev = Domain.bitrev
+    _cacheable = Domain._cacheable
+
+
+class FourStepPlan:
+    """Static tables for one distributed four-step (i)NTT of size n1 * n2.
+
+    Transform direction is baked in via `omega` (pass dom.omega_inv and
+    scale = 1/n for the inverse — the four-step decomposition is identical
+    in omega). Layout contract:
+
+      input:  (nl, n1, n2), index j = i1 + n1*i2 at [:, i1, i2], i1 sharded
+      output: (nl, n2, n1), index k = k2 + n2*k1 at [:, k2, k1], k2 sharded
+
+    The transposed output is the NEXT transform's input layout when its
+    (n1', n2') split starts with n1' = n2 — the sharded QAP pipeline in
+    groth16_device chains four of these with zero relayout collectives.
     """
+
+    def __init__(self, fs, r, n1, n2, omega, scale=1):
+        self.fs = fs
+        self.n1 = n1
+        self.n2 = n2
+        self.row_dom = _SubDomain(fs, r, pow(omega, n1, r), n2)
+        self.col_dom = _SubDomain(fs, r, pow(omega, n2, r), n1)
+        # stage-2 twiddles W[i1, k2] = omega^(i1*k2) (n1-axis sharded),
+        # with the scalar `scale` (e.g. 1/n for inverses) folded in
+        twl = np.zeros((fs.nl, n1, n2), dtype=np.uint32)
+        for i1 in range(n1):
+            vals = []
+            w = scale % r
+            base = pow(omega, i1, r)
+            for _ in range(n2):
+                vals.append(w)
+                w = w * base % r
+            twl[:, i1, :] = fs.to_mont_host(vals)
+        self.tw_host = twl
+
+    def tw_dev(self):
+        return jnp.asarray(self.tw_host)
+
+    def local(self, x, tw_local, axis):
+        """Local body (composable INSIDE a shard_map over 1-D mesh `axis`).
+        x: (nl, [B,] n1/D, n2) local rows (optional leading batch axis
+        shares one compiled butterfly graph across B transforms);
+        returns (nl, [B,] n2/D, n1)."""
+        fs = self.fs
+        batched = x.ndim == 4
+        B = x.shape[1] if batched else 1
+        rows = x.shape[-2]
+        # stage 1: length-n2 NTTs along the last axis (batched core)
+        x1 = _ntt(
+            self.row_dom,
+            x.reshape(fs.nl, B * rows, self.n2),
+            self.row_dom.twiddles(False),
+        )
+        # stage 2: twiddle (and scale) multiply
+        x2 = mont_mul(
+            fs,
+            x1.reshape(fs.nl, B, rows, self.n2),
+            tw_local[:, None],
+        )
+        # stage 3: all_to_all transpose across the mesh, then local
+        # length-n1 NTTs. split n2 into D chunks, concat on the row axis:
+        # (nl, B, n1/D * D, n2/D) = (nl, B, n1, n2/D) -> swap local axes
+        xt = jax.lax.all_to_all(
+            x2, axis, split_axis=3, concat_axis=2, tiled=True
+        )
+        xt = jnp.swapaxes(xt, 2, 3)  # (nl, B, n2/D, n1)
+        x3 = _ntt(
+            self.col_dom,
+            xt.reshape(fs.nl, -1, self.n1),
+            self.col_dom.twiddles(False),
+        )
+        x3 = x3.reshape(fs.nl, B, xt.shape[2], self.n1)
+        return x3 if batched else x3[:, 0]
+
+
+def sharded_ntt_fn(dom: Domain, mesh, n1, axis="shards"):
+    """Distributed four-step NTT over domain `dom` of size n = n1 * n2
+    (layout contract: see FourStepPlan)."""
     fs = dom.fs
     n = dom.n
     n2 = n // n1
     assert n1 * n2 == n
-    r = dom.r
     ndev = mesh.shape[axis]
     assert n1 % ndev == 0 and n2 % ndev == 0
-
-    # sub-domains: omega_n2 = omega^n1 for rows, omega_n1 = omega^n2 for cols
-    class _SubDomain:
-        def __init__(self, omega, size):
-            self.fs = fs
-            self.r = r
-            self.n = size
-            self.omega = omega
-            self.omega_inv = pow(omega, -1, r)
-            self.n_inv = pow(size, -1, r)
-            w = 1
-            self.powers_host = []
-            for _ in range(max(size // 2, 1)):
-                self.powers_host.append(w)
-                w = w * omega % r
-            self._tw = None
-            self._tw_inv = None
-            self._bitrev = None
-
-        twiddles = Domain.twiddles
-        bitrev = Domain.bitrev
-        _cacheable = Domain._cacheable
-
-    row_dom = _SubDomain(pow(dom.omega, n1, r), n2)
-    col_dom = _SubDomain(pow(dom.omega, n2, r), n1)
-
-    # stage-2 twiddle matrix W[i1, k2] = omega^(i1 * k2), shape (nl, n1, n2)
-    om = dom.omega
-    twl = np.zeros((fs.nl, n1, n2), dtype=np.uint32)
-    for i1 in range(n1):
-        vals = []
-        w = 1
-        base = pow(om, i1, r)
-        for _ in range(n2):
-            vals.append(w)
-            w = w * base % r
-        twl[:, i1, :] = fs.to_mont_host(vals)
-    tw_dev = jnp.asarray(twl)
-
-    def local_fourstep(x, tw_local):
-        # x: (nl, n1/D, n2) local rows
-        # stage 1: length-n2 NTT along the last axis for each local row
-        # (_ntt_core expects (nl, n), so vmap over the row axis)
-        def row_ntt(v):
-            return _ntt(row_dom, v, row_dom.twiddles(False))
-
-        x1 = jax.vmap(row_ntt, in_axes=1, out_axes=1)(x)  # (nl, rows, n2)
-        # stage 2: twiddle multiply
-        x2 = mont_mul(fs, x1, tw_local)
-        # stage 3: all_to_all transpose -> (nl, n2/D, n1), then local NTTs
-        xt = jax.lax.all_to_all(x2, axis, split_axis=2, concat_axis=1, tiled=True)
-        # xt: (nl, rows * D = n1 ... careful) -> shape (nl, n1, n2/D)? verify:
-        # split n2 into D chunks, concat on row axis: (nl, n1/D * D, n2/D)
-        # = (nl, n1, n2/D); transpose local axes to (nl, n2/D, n1)
-        xt = jnp.swapaxes(xt, 1, 2)
-
-        def col_ntt(v):
-            return _ntt(col_dom, v, col_dom.twiddles(False))
-
-        x3 = jax.vmap(col_ntt, in_axes=1, out_axes=1)(xt)  # (nl, n2/D, n1)
-        return x3
+    plan = FourStepPlan(fs, dom.r, n1, n2, dom.omega)
+    tw_dev = plan.tw_dev()
 
     def fn(x):
         return jax.shard_map(
-            local_fourstep,
+            lambda xl, twl: plan.local(xl, twl, axis),
             mesh=mesh,
             in_specs=(P(None, axis, None), P(None, axis, None)),
             out_specs=P(None, axis, None),
