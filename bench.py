@@ -61,12 +61,16 @@ def _remaining():
 
 
 def _sync_pull(x):
-    """Device->host pull of one small leaf: the only trustworthy timing fence
-    through the axon stdio relay (block_until_ready returns early there)."""
+    """Device->host pull of a few bytes: the only trustworthy timing fence
+    through the axon stdio relay (block_until_ready returns early there).
+    Slice ON DEVICE first — np.asarray of a whole leaf ships the entire
+    buffer through the ~30 MB/s relay (a 2^20 NTT output is 64MB ~= 6s of
+    pure transfer, the round-1 false-measurement artifact)."""
     import numpy as np
     import jax
 
-    np.asarray(jax.tree_util.tree_leaves(x)[0])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
 
 
 # --------------------------------------------------------------- attempts --

@@ -245,12 +245,12 @@ def msm_pippenger(gs, P, slimbs, c=13):
         pseudo = jnp.where(mag0 > 0, j + mag0, 0)
         d_top = jnp.where(d_top < 0, -pseudo, pseudo)
         digits = jnp.concatenate([d_top[None], digits[1:]], axis=0)
-    if use_pallas_buckets:
-        # G also bounds trace size (the slow-path fallback unrolls G
-        # while_loops and the Horner fold unrolls G segments)
-        G = max(1, min(W_total, cap // B2, 8))
-    else:
-        G = 1  # jnp path: keep the compact single-window graph
+    # One window per Pallas launch. Grouping G windows (cap // B2) into one
+    # launch crashes the TPU compiler at G > 1 (tpu_compile_helper SIGABRT,
+    # "Check failed: limits[i] <= dim(i) (16 vs. 1)", observed at 2^17
+    # c=11 G=4) and measured launch overhead at G=1 is negligible
+    # (75ms/window kernel vs ~148ms/window whole-MSM at 2^20).
+    G = 1
     Wp = -(-W_total // G) * G
     if Wp != W_total:
         # pad with zero windows on the HIGH side: all-zero digits contribute
