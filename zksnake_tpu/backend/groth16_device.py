@@ -25,7 +25,7 @@ from .field import (
     mont_inv_batch,
 )
 from .ntt import Domain, ntt_device, intt_device
-from .spmv import DeviceSparseMatrix, reduce_wide
+from .spmv import DeviceSparseMatrix, segment_sum_field
 from .curve_ops import get_group_spec
 from .msm import msm_device_raw, batch_mul_fixed_base_raw
 from .limbs import ints_to_limbs
@@ -55,13 +55,9 @@ class Groth16DeviceProver:
 
     def _spmv(self, mat, w_mont):
         terms = mont_mul(self.fr, mat.vals, w_mont[:, mat.cols])
-        sums = jax.ops.segment_sum(
-            terms.T,
-            mat.rows,
-            num_segments=self.n,
-            indices_are_sorted=True,
+        return segment_sum_field(
+            self.fr, terms, mat.rows, self.n, indices_are_sorted=True
         )
-        return reduce_wide(self.fr, sums.T)
 
     def _build_kernel(self):
         fr = self.fr
@@ -145,7 +141,6 @@ class Groth16DeviceProver:
     def _build_sharded_qap(self, mesh, axis):
         from jax.sharding import PartitionSpec as P
         from .sharding import FourStepPlan
-        from .spmv import reduce_wide
 
         fr = self.fr
         r = fr.p
@@ -196,12 +191,9 @@ class Groth16DeviceProver:
             vals_l, cols_l, segs_l = vals_l[0], cols_l[0], segs_l[0]
             w = to_mont(fr, w_raw)
             terms = mont_mul(fr, vals_l, w[:, cols_l])
-            sums = jax.ops.segment_sum(
-                terms.T, segs_l,
-                num_segments=3 * rows_local,
-                indices_are_sorted=True,
-            )
-            abc = reduce_wide(fr, sums.T).reshape(fr.nl, 3, rows1, n2)
+            abc = segment_sum_field(
+                fr, terms, segs_l, 3 * rows_local, indices_are_sorted=True
+            ).reshape(fr.nl, 3, rows1, n2)
             uvw = plan1.local(abc, tw1, axis)  # (nl, 3, n2/D, n1) coeffs
             wp = uvw[:, 2]
             zpad = jnp.zeros_like(uvw[:, :2])
@@ -313,8 +305,9 @@ class Groth16DeviceProver:
         (the L/R/O accumulation of groth16/protocol.py:58-76 is exactly
         Aᵀ·lagrange etc. over the sparse triplets)."""
         terms = mont_mul(self.fr, mat.vals, vec[:, mat.rows])
-        sums = jax.ops.segment_sum(terms.T, mat.cols, num_segments=self.m)
-        return reduce_wide(self.fr, sums.T)
+        return segment_sum_field(
+            self.fr, terms, mat.cols, self.m, indices_are_sorted=False
+        )
 
     def _build_setup_kernel(self, n_public):
         fr = self.fr
