@@ -130,31 +130,35 @@ def _measure_ntt(logn):
 
     _cfg.jax_available()
     from zksnake_tpu.backend.field import FieldSpec
-    from zksnake_tpu.backend.ntt import Domain, ntt_device
+    from zksnake_tpu.backend.ntt import Domain
     from zksnake_tpu.curves.params import CURVES
+
+    from zksnake_tpu.backend.ntt import _NttKernels
 
     curve = CURVES["BN254"]
     fr = FieldSpec.get(curve.r)
     rng = random.Random(0x177)
     n = 1 << logn
-    dom = Domain.get(curve, n)
-    coeffs = jnp.asarray(
-        fr.to_mont_host([rng.randrange(curve.r) for _ in range(n)])
-    )
-    out = ntt_device(dom, coeffs)
+    dom = Domain.get(curve, n).warm()
+    cints = [rng.randrange(curve.r) for _ in range(n)]
+    coeffs = jnp.asarray(fr.to_mont_host(cints))
+    # the jitted kernel (same entry transform_host uses): ONE dispatch per
+    # transform — eager ntt_device pays per-op relay round-trips instead
+    fft = _NttKernels.get(dom, "fft")
+    out = fft(coeffs)
     _sync_pull(out)  # compile + warm
     t0 = time.time()
-    out = ntt_device(dom, coeffs)
+    out = fft(coeffs)
     _sync_pull(out)
     dt = time.time() - t0
     # oracle at a subsample: evaluation at omega^1 must match Horner on host
+    # (slice ON DEVICE before np.asarray — the relay ships whole leaves)
     import numpy as np
 
-    got1 = fr.from_mont_host(np.asarray(out)[:, 1:2])[0]
+    got1 = fr.from_mont_host(np.asarray(out[:, 1:2]))[0]
     want1 = 0
     om = dom.omega
-    csh = fr.from_mont_host(np.asarray(coeffs))
-    for c in reversed(csh):
+    for c in reversed(cints):
         want1 = (want1 * om + c) % curve.r
     if got1 != want1:
         raise AssertionError("device NTT does not match host Horner oracle")
@@ -185,20 +189,27 @@ def _measure_groth16(logn):
     _cfg.jax_available()
     from zksnake_tpu.groth16 import Groth16
 
+    def _mark(msg):
+        # stderr so a timed-out attempt's kept tail shows the phase reached
+        print(f"[groth16 {time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
     t0 = time.time()
     r1cs, pub, priv = _build_mult_chain(1 << logn)
     t_frontend = time.time() - t0
+    _mark(f"frontend done ({t_frontend:.0f}s)")
 
     g16 = Groth16(r1cs, "BN254")
     t0 = time.time()
     g16.setup()
     t_setup = time.time() - t0
+    _mark(f"setup done ({t_setup:.0f}s)")
 
     from zksnake_tpu import metrics
 
     t0 = time.time()
     proof = g16.prove(pub, priv)  # cold (includes compiles)
     t_cold = time.time() - t0
+    _mark(f"cold prove done ({t_cold:.0f}s)")
     metrics.enable()
     metrics.reset()
     t0 = time.time()

@@ -203,6 +203,41 @@ def _ntt_core_cg(dom: Domain, x, tw):
     return x if batched else x[:, 0, :]
 
 
+def _ntt_core_cg_flat(dom: Domain, x, tw):
+    """2-D constant-geometry variant for a SINGLE transform (x: (nl, n)).
+
+    Identical math to _ntt_core_cg at B == 1, but the loop carry stays
+    (nl, n): the 3-D form's (nl, 1, n) carry presents a unit sublane
+    dimension to the TPU's (8, 128) vector tiling, wasting 7/8 of every
+    VPU tile on each of the logn stage passes. Keeping the limb axis on
+    the sublane dimension makes every elementwise/butterfly op full-width.
+
+    Only the standalone jitted kernels (_NttKernels -> transform_host,
+    bench.py's NTT latency metric) select this path; the fused device
+    provers keep the 3-D batched form so their compiled graphs (and the
+    persistent-cache entries warmed for them) are unchanged.
+    """
+    fs = dom.fs
+    n = dom.n
+    if n == 1:
+        return x
+    logn = n.bit_length() - 1
+    h = n // 2
+    iota = jnp.arange(h, dtype=jnp.int32)
+
+    def body(s, x):
+        u = x[:, :h]
+        v = x[:, h:]
+        idx = jnp.left_shift(jnp.right_shift(iota, s), s)
+        w = tw[:, idx]  # (nl, h)
+        a = mod_add(fs, u, v)
+        b = mont_mul(fs, mod_sub(fs, u, v), w)
+        return jnp.stack([a, b], axis=-1).reshape(fs.nl, n)
+
+    x = jax.lax.fori_loop(0, logn, body, x)
+    return jnp.take(x, dom.bitrev(), axis=-1)
+
+
 def _use_cg():
     import os
 
@@ -215,16 +250,18 @@ def _use_cg():
         return True
 
 
-def _ntt(dom: Domain, x, tw):
+def _ntt(dom: Domain, x, tw, flat=False):
+    if flat and x.ndim == 2 and _use_cg():
+        return _ntt_core_cg_flat(dom, x, tw)
     return (_ntt_core_cg if _use_cg() else _ntt_core)(dom, x, tw)
 
 
-def ntt_device(dom: Domain, x):
-    return _ntt(dom, x, dom.twiddles(False))
+def ntt_device(dom: Domain, x, flat=False):
+    return _ntt(dom, x, dom.twiddles(False), flat=flat)
 
 
-def intt_device(dom: Domain, x):
-    y = _ntt(dom, x, dom.twiddles(True))
+def intt_device(dom: Domain, x, flat=False):
+    y = _ntt(dom, x, dom.twiddles(True), flat=flat)
     scale = dom.fs.const_mont_dev(dom.n_inv, (1,) * (x.ndim - 1))
     return mont_mul(dom.fs, y, scale)
 
@@ -251,13 +288,13 @@ class _NttKernels:
         key = (dom.r, dom.n, kind)
         if key not in cls._cache:
             if kind == "fft":
-                fn = lambda x: ntt_device(dom, x)
+                fn = lambda x: ntt_device(dom, x, flat=True)
             elif kind == "ifft":
-                fn = lambda x: intt_device(dom, x)
+                fn = lambda x: intt_device(dom, x, flat=True)
             elif kind == "coset_fft":
-                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False))
+                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False), flat=True)
             elif kind == "coset_ifft":
-                fn = lambda x: coset_scale(dom, intt_device(dom, x), True)
+                fn = lambda x: coset_scale(dom, intt_device(dom, x, flat=True), True)
             else:
                 raise ValueError(kind)
             cls._cache[key] = jax.jit(fn)
