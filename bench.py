@@ -243,6 +243,9 @@ def _measure_plonk(logn):
     from zksnake_tpu.arithmetization import ConstraintSystem, Var
     from zksnake_tpu.constant import BN254_SCALAR_FIELD
 
+    def _mark(msg):
+        print(f"[plonk {time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
     n_power = 1 << logn
     inp, out = Var("inp"), Var("out")
     v = [Var(f"v{i}") for i in range(n_power - 1)]
@@ -255,16 +258,25 @@ def _measure_plonk(logn):
     plonkish = Plonkish(cs)
     plonkish.compile()
     pub, priv = plonkish.generate_witness(plonkish.solve({"inp": 2}))
+    _mark("frontend done")
 
     plonk = Plonk(plonkish)
     plonk.setup()
-    proof = plonk.prove(pub, priv)  # warm
+    _mark("setup done")
+    t0 = time.time()
+    proof = plonk.prove(pub, priv)  # cold (includes compiles)
+    t_cold = time.time() - t0
+    _mark(f"cold prove done ({t_cold:.0f}s)")
     t0 = time.time()
     proof = plonk.prove(pub, priv)
     t_prove = time.time() - t0
     if not plonk.verify(proof, pub):
         raise AssertionError("PlonK proof did not verify")
-    return {"plonk_prove_s": t_prove, "gates": plonk.constraints.length}
+    return {
+        "plonk_prove_s": t_prove,
+        "plonk_prove_cold_s": t_cold,
+        "gates": plonk.constraints.length,
+    }
 
 
 def _measure_scaling():
@@ -452,6 +464,17 @@ def main():
     signal.signal(signal.SIGINT, _on_term)
 
     try:
+        # purge a machine-mismatched persistent cache ONCE in the parent so
+        # every child attempt starts against a valid (possibly cold) cache
+        # instead of grinding through another VM's AOT entries
+        try:
+            from zksnake_tpu.backend.config import check_cache_fingerprint
+
+            if check_cache_fingerprint():
+                detail["cache_purged_machine_mismatch"] = True
+        except Exception:
+            pass
+
         # host bigint anchor (always available; no jax involvement)
         from zksnake_tpu.curves import ec_bn254
         from zksnake_tpu.backend.dispatch import _host_msm
@@ -489,42 +512,60 @@ def main():
         # cap; ntt@2^20 blew 300s (Domain twiddle build is host-side bigint
         # work before the compile). Warm-cache reruns are seconds, so the
         # caps only bind on a cold .jax_cache.
+        #
+        # Ordering + ladders (VERDICT r3): `scaling` runs FIRST among the
+        # secondary stages — it is CPU-mesh (cannot poison the TPU session),
+        # cheap, and had never been recorded purely for budget reasons.
+        # groth16/plonk each get a degrade ladder like MSM's: a smaller
+        # circuit with a recorded number beats an unrecorded timeout at the
+        # target size.
         stages = (
-            ("ntt", LOG2N, 400, 60, None, False,
-             lambda r: detail.update({"ntt_2e%d_ms" % LOG2N: round(r["ntt_ms"], 2)})),
-            ("groth16", G16_LOG2N, 900, 150, None, False,
-             lambda r: detail.update({
+            ("scaling", ((0, 300, 60),), None, True,
+             lambda r, arg: detail.update({
+                 "scaling_efficiency_1to8": round(r["scaling_efficiency_1to8"], 3),
+                 "sharded_ntt_t1_s": round(r["sharded_ntt_t1_s"], 3),
+                 "sharded_ntt_t8_s": round(r["sharded_ntt_t8_s"], 3),
+             })),
+            ("ntt", ((LOG2N, 400, 60),), None, False,
+             lambda r, arg: detail.update(
+                 {"ntt_2e%d_ms" % arg: round(r["ntt_ms"], 2)})),
+            ("groth16",
+             ((G16_LOG2N, 900, 150),
+              (max(G16_LOG2N - 3, 10), 450, 120),
+              (max(G16_LOG2N - 5, 10), 300, 100)),
+             None, False,
+             lambda r, arg: detail.update({
                  "groth16_prove_s": round(r["groth16_prove_s"], 3),
                  "groth16_prove_cold_s": round(r.get("groth16_prove_cold_s", 0), 3),
                  "groth16_setup_s": round(r["groth16_setup_s"], 3),
                  "groth16_constraints": r["constraints"],
                  **({"groth16_phases": r["groth16_phases"]} if "groth16_phases" in r else {}),
              })),
-            ("plonk", PLONK_LOG2N, 550, 120, None, False,
-             lambda r: detail.update({
+            ("plonk",
+             ((PLONK_LOG2N, 550, 120),
+              (max(PLONK_LOG2N - 2, 8), 400, 100),
+              (max(PLONK_LOG2N - 4, 8), 300, 90)),
+             None, False,
+             lambda r, arg: detail.update({
                  "plonk_prove_s": round(r["plonk_prove_s"], 3),
+                 "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
                  "plonk_gates": r["gates"],
              })),
-            ("scaling", 0, 300, 60, None, True,
-             lambda r: detail.update({
-                 "scaling_efficiency_1to8": round(r["scaling_efficiency_1to8"], 3),
-                 "sharded_ntt_t1_s": round(r["sharded_ntt_t1_s"], 3),
-                 "sharded_ntt_t8_s": round(r["sharded_ntt_t8_s"], 3),
-             })),
         )
-        for name, arg, cap, min_s, extra, cpu_mesh, sink in stages:
+        for name, ladder, extra, cpu_mesh, sink in stages:
             if name in SKIP:
                 continue
-            if _remaining() < min_s:
-                skipped.append(name)
-                continue
-            r, err = _run_attempt_recovering(
-                name, arg, timeout=cap, env_extra=extra, cpu_mesh=cpu_mesh
-            )
-            if r is not None:
-                sink(r)
-            else:
-                errors[name] = err
+            for arg, cap, min_s in ladder:
+                if _remaining() < min_s:
+                    skipped.append(f"{name}_{arg}")
+                    continue
+                r, err = _run_attempt_recovering(
+                    name, arg, timeout=cap, env_extra=extra, cpu_mesh=cpu_mesh
+                )
+                if r is not None:
+                    sink(r, arg)
+                    break
+                errors[f"{name}_{arg}"] = err
     except _Bailout:
         pass
     finally:

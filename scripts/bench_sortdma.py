@@ -529,9 +529,75 @@ def stage_transpose210(n, _):
     return {"stage": "transpose210", "s": dt, "gb_per_s": nbytes / dt / 1e9}
 
 
+def stage_take_cols(n, _):
+    """msm.py's CURRENT round-table build: flat take along axis=1 of a
+    (NP, n+R) source (each index pulls a STRIDED 16-element column — worst
+    DMA granularity), then reshape + (2,0,1) transpose to (R, NP, B2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    NP, B2, R = 16, 4096, 392
+    rng = np.random.default_rng(6)
+    src = jnp.asarray(
+        rng.integers(0, 1 << 30, size=(NP, n + R)).astype(np.uint32)
+    )
+    starts = jnp.asarray(np.sort(rng.integers(0, n, size=B2)).astype(np.int32))
+
+    @jax.jit
+    def run(src, starts):
+        kcol = jnp.arange(R, dtype=jnp.int32)[None, :]
+        pos = (starts[:, None] + kcol).reshape(-1)
+        t = jnp.take(src, pos, axis=1).reshape(NP, B2, R)
+        return jnp.transpose(t, (2, 0, 1))
+
+    out = run(src, starts)
+    _pull(out)
+    t0 = time.time()
+    out = run(src, starts)
+    _pull(out)
+    dt = time.time() - t0
+    nbytes = B2 * R * NP * 4
+    return {"stage": "take_cols", "s": dt, "gb_per_s": nbytes / dt / 1e9}
+
+
+def stage_take_rows(n, _):
+    """Transposed-source alternative: take along axis=0 of (n+R, NP) — each
+    index pulls one CONTIGUOUS 64B row — then (0,2,1) transpose. If the
+    current 2.9 GB/s gather is strided-granularity-bound, this should win."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    NP, B2, R = 16, 4096, 392
+    rng = np.random.default_rng(6)
+    srcT = jnp.asarray(
+        rng.integers(0, 1 << 30, size=(n + R, NP)).astype(np.uint32)
+    )
+    starts = jnp.asarray(np.sort(rng.integers(0, n, size=B2)).astype(np.int32))
+
+    @jax.jit
+    def run(srcT, starts):
+        kcol = jnp.arange(R, dtype=jnp.int32)[:, None]
+        pos = (kcol + starts[None, :]).reshape(-1)  # (R*B2,) round-major
+        t = jnp.take(srcT, pos, axis=0).reshape(R, B2, NP)
+        return jnp.transpose(t, (0, 2, 1))
+
+    out = run(srcT, starts)
+    _pull(out)
+    t0 = time.time()
+    out = run(srcT, starts)
+    _pull(out)
+    dt = time.time() - t0
+    nbytes = B2 * R * NP * 4
+    return {"stage": "take_rows", "s": dt, "gb_per_s": nbytes / dt / 1e9}
+
+
 STAGES["expand_dma_pm"] = stage_expand_dma_pm
 STAGES["tk_flat"] = stage_tk_flat
 STAGES["transpose210"] = stage_transpose210
+STAGES["take_cols"] = stage_take_cols
+STAGES["take_rows"] = stage_take_rows
 
 
 def main():

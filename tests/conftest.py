@@ -49,3 +49,13 @@ except Exception:  # pragma: no cover - jax genuinely unavailable
 if os.environ.get("ZKSNAKE_DEVICE_TESTS", "0") != "1":
     os.environ.setdefault("ZKSNAKE_TPU_DISABLE", "1")
     os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
+
+# Purge a machine-mismatched persistent cache BEFORE any compile reads it
+# (entries written on another VM load + warn + recompile; see
+# backend/config.py::check_cache_fingerprint).
+try:
+    from zksnake_tpu.backend.config import check_cache_fingerprint
+
+    check_cache_fingerprint(os.path.join(_repo, ".jax_cache"))
+except Exception:  # pragma: no cover
+    pass

@@ -70,3 +70,24 @@ def test_ntt_domain_matches_arkworks_convention():
     dom2 = _HostDomain.get(r2, 1 << 5)
     assert pow(dom2.omega, 1 << 5, r2) == 1
     assert pow(dom2.omega, 1 << 4, r2) != 1
+
+
+@pytest.mark.parametrize("p", FIELDS)
+def test_mont_mul_cpu64_matches_int_model(p):
+    """The u64/32-bit-limb CIOS CPU fast path (field._mont_mul_cpu64) is
+    bit-compatible with the big-int model for every modulus, including the
+    p-1 edge lanes (round-4 compile-time lever; see CLAUDE.md)."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+    from zksnake_tpu.backend.field import FieldSpec, _mont_mul_cpu64
+
+    fs = FieldSpec.get(p)
+    rng = random.Random(17)
+    xs = [rng.randrange(p) for _ in range(61)] + [p - 1, p - 1, 0]
+    ys = [rng.randrange(p) for _ in range(61)] + [p - 1, 1, p - 1]
+    a = jnp.asarray(fs.to_mont_host(xs))
+    b = jnp.asarray(fs.to_mont_host(ys))
+    out = jax.jit(lambda a, b: _mont_mul_cpu64(fs, a, b))(a, b)
+    assert fs.from_mont_host(np.asarray(out)) == [
+        x * y % p for x, y in zip(xs, ys)
+    ]

@@ -55,6 +55,59 @@ CACHE_DIR = os.environ.get(
 )
 
 
+def check_cache_fingerprint(cache_dir=None):
+    """Purge the persistent compile cache when the host machine changed.
+
+    XLA-CPU AOT cache entries embed the COMPILING machine's CPU features;
+    a workspace carried to a different VM ships hundreds of MB of entries
+    that each load, warn (cpu_aot_loader "machine type ... doesn't match"),
+    and recompile anyway — the grind that ate the round-2/3 multichip-dryrun
+    budgets (MULTICHIP_r03 tail). A MACHINE_FINGERPRINT file (hash of
+    /proc/cpuinfo flags + jax version) written alongside the entries detects
+    the move; on mismatch — or when entries exist with no fingerprint, i.e.
+    unverifiable provenance — the whole cache is removed. Runs once per
+    process from jax_available(); callers outside the library (bench.py,
+    dryrun) may call it directly before their first compile."""
+    import hashlib
+    import shutil
+
+    cache_dir = os.path.abspath(cache_dir or CACHE_DIR)
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split()[2:]))
+                    break
+        import jax
+
+        fp = hashlib.sha256(
+            (flags + "|" + jax.__version__).encode()
+        ).hexdigest()[:32]
+    except Exception:  # pragma: no cover - no /proc or no jax
+        return False
+    path = os.path.join(cache_dir, "MACHINE_FINGERPRINT")
+    purged = False
+    try:
+        if os.path.isdir(cache_dir):
+            old = None
+            if os.path.exists(path):
+                with open(path) as f:
+                    old = f.read().strip()
+            has_entries = any(
+                e != "MACHINE_FINGERPRINT" for e in os.listdir(cache_dir)
+            )
+            if old != fp and has_entries:
+                shutil.rmtree(cache_dir, ignore_errors=True)
+                purged = True
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(fp)
+    except Exception:  # pragma: no cover - read-only fs etc.
+        pass
+    return purged
+
+
 def jax_available():
     if _DISABLE:
         return False
@@ -63,6 +116,7 @@ def jax_available():
             import jax
 
             try:
+                check_cache_fingerprint()
                 jax.config.update("jax_compilation_cache_dir", os.path.abspath(CACHE_DIR))
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             except Exception:

