@@ -85,10 +85,31 @@ class DevFq2:
 
     def mul_many(self, pairs):
         """Karatsuba Fq2 products for all pairs fused into one stacked
-        mont_mul (3 limbs-level products per pair, batched across pairs)."""
+        mont_mul (3 limbs-level products per pair, batched across pairs).
+
+        Inside Pallas kernel bodies the products stay PER-PAIR 2-D: the
+        stacked (nl, 3k, B) chains in the G2 add_affine formula SIGABRT
+        the TPU compiler ("Check failed: limits[i] <= dim(i) (8 vs 1)",
+        the BENCH_r03/r04 groth16 crash — bisected 2026-08-21 with
+        scripts/debug_g2_mosaic.py: bare stacked products of width
+        3/5/6/15/18 all compile, the chained formula only compiles
+        unstacked). Compile cost is bounded: the bucket kernel carries
+        ONE add_affine, so ~39 small 2-D montmul instantiations."""
         fs = self.fs
         nl = fs.nl
         k = len(pairs)
+        from . import pallas_field
+
+        if pallas_field._STATE["in_kernel"]:
+            out = []
+            for (a0, a1), (b0, b1) in pairs:
+                t0 = mont_mul(fs, a0, b0)
+                t1 = mont_mul(fs, a1, b1)
+                t2 = mont_mul(fs, mod_add(fs, a0, a1), mod_add(fs, b0, b1))
+                out.append(
+                    (mod_sub(fs, t0, t1), mod_sub(fs, mod_sub(fs, t2, t0), t1))
+                )
+            return out
         batch = jnp.broadcast_shapes(
             *[a[0].shape[1:] for a, _ in pairs], *[b[0].shape[1:] for _, b in pairs]
         )

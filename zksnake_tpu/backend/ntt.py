@@ -273,9 +273,10 @@ def _ntt_core_cg_bflat(dom: Domain, x, tw):
     return jnp.take(xf.reshape(fs.nl, B, n), dom.bitrev(), axis=-1)
 
 
-def _ntt(dom: Domain, x, tw, flat=None):
-    """Core-selection policy (single, explicit — ZKSNAKE_NTT_CORE overrides
-    for experiments; `flat` is accepted for API compatibility and ignored):
+def _ntt(dom: Domain, x, tw, flat=None, core=None):
+    """Core-selection policy (single, explicit — `core` or ZKSNAKE_NTT_CORE
+    override for experiments; `flat` is accepted for API compatibility and
+    ignored):
 
     - 2-D (nl, n):            _ntt_core_cg_flat  — full-width tiles, one
                               montmul instantiation (cheap compiles on
@@ -286,13 +287,18 @@ def _ntt(dom: Domain, x, tw, flat=None):
                               3-D only for the split/riffle views.
 
     A (nl, 1, n) or small-B carry must NEVER reach XLA-TPU/Mosaic: unit
-    sublane dims run at 1/8 tile utilization and have crashed the TPU
-    compiler (BENCH_r03 groth16 attempt). _ntt_core (unrolled stages) is
-    override-only: log2(n) montmul instantiations compile for minutes.
+    sublane dims run at 1/8 tile utilization and are a TPU-compiler crash
+    class. _ntt_core (unrolled stages) trades log2(n) montmul
+    instantiations (minutes of XLA-CPU compile; cheap pallas launches on
+    TPU) for no per-stage twiddle gather — measured 152 ms vs the flat
+    core's 207 ms at 2^20 on v5e (2026-08-21) — so the STANDALONE jitted
+    kernels select it on the TPU backend (core="unrolled" from
+    _NttKernels); the fused provers stay constant-geometry because their
+    graphs carry many transforms and compile time dominates their caps.
     """
     import os
 
-    core = os.environ.get("ZKSNAKE_NTT_CORE", "auto")
+    core = core or os.environ.get("ZKSNAKE_NTT_CORE", "auto")
     if core == "unrolled":
         return _ntt_core(dom, x, tw)
     if core == "cg":
@@ -304,12 +310,12 @@ def _ntt(dom: Domain, x, tw, flat=None):
     return _ntt_core_cg_bflat(dom, x, tw)
 
 
-def ntt_device(dom: Domain, x, flat=None):
-    return _ntt(dom, x, dom.twiddles(False))
+def ntt_device(dom: Domain, x, flat=None, core=None):
+    return _ntt(dom, x, dom.twiddles(False), core=core)
 
 
-def intt_device(dom: Domain, x, flat=None):
-    y = _ntt(dom, x, dom.twiddles(True))
+def intt_device(dom: Domain, x, flat=None, core=None):
+    y = _ntt(dom, x, dom.twiddles(True), core=core)
     scale = dom.fs.const_mont_dev(dom.n_inv, (1,) * (x.ndim - 1))
     return mont_mul(dom.fs, y, scale)
 
@@ -331,18 +337,31 @@ def coset_scale(dom: Domain, x, inverse=False):
 class _NttKernels:
     _cache = {}
 
+    @staticmethod
+    def _core():
+        """Standalone single-transform kernels: unrolled on the TPU backend
+        (its stage montmuls are one shared pallas launch shape, so the
+        log2(n) instantiations compile cheaply there, and it avoids the CG
+        core's per-stage twiddle gather — 152 vs 207 ms at 2^20); the
+        policy default (constant-geometry flat) elsewhere."""
+        try:
+            return "unrolled" if jax.default_backend() == "tpu" else None
+        except Exception:  # pragma: no cover
+            return None
+
     @classmethod
     def get(cls, dom: Domain, kind: str):
         key = (dom.r, dom.n, kind)
         if key not in cls._cache:
+            core = cls._core()
             if kind == "fft":
-                fn = lambda x: ntt_device(dom, x)
+                fn = lambda x: ntt_device(dom, x, core=core)
             elif kind == "ifft":
-                fn = lambda x: intt_device(dom, x)
+                fn = lambda x: intt_device(dom, x, core=core)
             elif kind == "coset_fft":
-                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False))
+                fn = lambda x: ntt_device(dom, coset_scale(dom, x, False), core=core)
             elif kind == "coset_ifft":
-                fn = lambda x: coset_scale(dom, intt_device(dom, x), True)
+                fn = lambda x: coset_scale(dom, intt_device(dom, x, core=core), True)
             else:
                 raise ValueError(kind)
             cls._cache[key] = jax.jit(fn)
