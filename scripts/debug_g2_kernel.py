@@ -111,5 +111,67 @@ def main(variant, group=2):
     print(f"@@OK@@ {variant} G{group} compiled+ran in {time.time()-t0:.0f}s", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not sys.argv[1].startswith("whileadd"):
     main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    sys.exit(0)
+# appended variants: loop-wrapped adds (compile-time pathology bisect)
+
+
+def main2(variant, group=2):
+    import jax
+    import jax.numpy as jnp
+    from zksnake_tpu.backend import config as _cfg
+
+    _cfg.jax_available()
+    from zksnake_tpu.backend.curve_ops import get_group_spec, DevFq2
+    from zksnake_tpu.curves import ec_bn254
+
+    if variant.endswith("_unstacked"):
+        from zksnake_tpu.backend.field import mont_mul, mod_add, mod_sub
+
+        def mul_many_naive(self, pairs):
+            out = []
+            f = self.fs
+            for (a0, a1), (b0, b1) in pairs:
+                t0 = mont_mul(f, a0, b0)
+                t1 = mont_mul(f, a1, b1)
+                t2 = mont_mul(f, mod_add(f, a0, a1), mod_add(f, b0, b1))
+                out.append(
+                    (mod_sub(f, t0, t1), mod_sub(f, mod_sub(f, t2, t0), t1))
+                )
+            return out
+
+        DevFq2.mul_many = mul_many_naive
+
+    import time
+    import numpy as np
+
+    curve = ec_bn254._curve
+    gs = get_group_spec(curve, group)
+    B = 1024
+    G = ec_bn254.g1() if group == 1 else ec_bn254.g2()
+    pts = [G * (i + 1) for i in range(B)]
+    P = gs.points_to_device(pts)
+
+    t0 = time.time()
+
+    @jax.jit
+    def run(Px, Py, Pz):
+        def body(state):
+            k, acc = state
+            acc2 = gs.add_affine(acc, (Px, Py))
+            return (k + 1, acc2)
+
+        _, acc = jax.lax.while_loop(
+            lambda s: s[0] < 64, body, (jnp.int32(0), gs.identity((B,)))
+        )
+        return acc
+
+    out = run(P[0], P[1], P[2])
+    np.asarray(jax.tree_util.tree_leaves(out)[0][:1, :1])
+    print(f"@@OK@@ {variant} G{group} compiled+ran in {time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__" and sys.argv[1].startswith("whileadd"):
+    main2(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    sys.exit(0)
