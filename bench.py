@@ -529,6 +529,20 @@ def main():
             ("ntt", ((LOG2N, 400, 60),), None, False,
              lambda r, arg: detail.update(
                  {"ntt_2e%d_ms" % arg: round(r["ntt_ms"], 2)})),
+            # plonk BEFORE groth16: plonk reliably fits its cap (measured
+            # 2026-08-21: whole cold attempt ~330s at 2^13), while groth16
+            # carries the G2-MSM compile-time risk (PERF.md) and could eat
+            # the whole remaining budget on a cold cache.
+            ("plonk",
+             ((PLONK_LOG2N, 550, 120),
+              (max(PLONK_LOG2N - 2, 8), 400, 100),
+              (max(PLONK_LOG2N - 4, 8), 300, 90)),
+             None, False,
+             lambda r, arg: detail.update({
+                 "plonk_prove_s": round(r["plonk_prove_s"], 3),
+                 "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
+                 "plonk_gates": r["gates"],
+             })),
             ("groth16",
              ((G16_LOG2N, 900, 150),
               (max(G16_LOG2N - 3, 10), 450, 120),
@@ -540,16 +554,6 @@ def main():
                  "groth16_setup_s": round(r["groth16_setup_s"], 3),
                  "groth16_constraints": r["constraints"],
                  **({"groth16_phases": r["groth16_phases"]} if "groth16_phases" in r else {}),
-             })),
-            ("plonk",
-             ((PLONK_LOG2N, 550, 120),
-              (max(PLONK_LOG2N - 2, 8), 400, 100),
-              (max(PLONK_LOG2N - 4, 8), 300, 90)),
-             None, False,
-             lambda r, arg: detail.update({
-                 "plonk_prove_s": round(r["plonk_prove_s"], 3),
-                 "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
-                 "plonk_gates": r["gates"],
              })),
         )
         for name, ladder, extra, cpu_mesh, sink in stages:

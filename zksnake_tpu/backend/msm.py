@@ -390,17 +390,36 @@ def msm_pippenger(gs, P, slimbs, c=13):
                     ((0, 0), (0, R_static)),
                 )
                 NP = (LX + LY) * PL
-                # ONE flat gather builds the whole round table (measured
-                # 2.9 GB/s on v5e); the earlier scan-of-dynamic-slices ran
-                # G*B2 serialized scan steps per window and its per-step
-                # overhead dominated the MSM. The round axis MUST lead in
-                # the final layout (Mosaic blocks along leading dims only;
-                # a second-minor block dim of 1 on a ~350-sized axis is
-                # rejected).
-                kcol = jnp.arange(R_static, dtype=jnp.int32)[None, :]
-                pos = (starts_flat[:, None] + kcol).reshape(-1)
-                t = jnp.take(src, pos, axis=1).reshape(NP, G * B2, R_static)
-                table = jnp.transpose(t, (2, 0, 1))
+                # ONE flat gather builds the whole round table; the earlier
+                # scan-of-dynamic-slices ran G*B2 serialized scan steps per
+                # window and its per-step overhead dominated the MSM. The
+                # round axis MUST lead in the final layout (Mosaic blocks
+                # along leading dims only; a second-minor block dim of 1 on
+                # a ~350-sized axis is rejected).
+                #
+                # Two formulations, ZKSNAKE_MSM_GATHER selects (see
+                # scripts/bench_sortdma.py take_cols/take_rows):
+                #  cols (round-3 default): take along axis=1 of (NP, G*n) —
+                #    each index pulls a STRIDED NP-element column (measured
+                #    2.9 GB/s end to end).
+                #  rows: transpose the source once, then take along axis=0
+                #    — each index pulls a CONTIGUOUS 4*NP-byte row, then a
+                #    cheap (0,2,1) minor transpose.
+                if _os.environ.get("ZKSNAKE_MSM_GATHER", "cols") == "rows":
+                    srcT = jnp.transpose(src, (1, 0))  # (G*n+R, NP)
+                    kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
+                    pos = (kcol + starts_flat[None, :]).reshape(-1)
+                    t = jnp.take(srcT, pos, axis=0).reshape(
+                        R_static, G * B2, NP
+                    )
+                    table = jnp.transpose(t, (0, 2, 1))
+                else:
+                    kcol = jnp.arange(R_static, dtype=jnp.int32)[None, :]
+                    pos = (starts_flat[:, None] + kcol).reshape(-1)
+                    t = jnp.take(src, pos, axis=1).reshape(
+                        NP, G * B2, R_static
+                    )
+                    table = jnp.transpose(t, (2, 0, 1))
                 kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
                 valid = (
                     has_digit.reshape(1, G * B2)
