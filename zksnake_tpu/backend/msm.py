@@ -432,9 +432,45 @@ def msm_pippenger(gs, P, slimbs, c=13):
                     lambda t_: t_.reshape(t_.shape[0], G, B2), buckets
                 )
 
-            buckets = jax.lax.cond(
-                maxrun <= R_static, _chunk_pallas, lambda _: _accum_all_slow(), None
-            )
+            if _os.environ.get("ZKSNAKE_MSM_REMAINDER", "0") == "1":
+                # Remainder-pass formulation (flag-gated): ALWAYS run the
+                # pallas accumulate for ranks < R_static, then finish any
+                # over-budget runs with a while_loop that usually executes
+                # ZERO iterations (maxrun <= R_static for random scalars).
+                # This removes the lax.cond's duplicated full fallback
+                # pipeline from the module — halving its size (the G2
+                # compile-pathology suspect) — and permits a smaller
+                # R_static: overflow now costs only the overflowing rounds
+                # instead of a full re-accumulation.
+                buckets = _chunk_pallas(None)
+                assert G == 1
+                pk_0 = [l[:, 0] for l in sleaves]  # (PL, n) packed planes
+
+                def rem_body(state):
+                    k, bk = state
+                    pos = jnp.clip(starts_by_digit[0] + k, 0, n - 1)
+                    valid = has_digit[0] & (k < len_by_digit[0])
+                    cols = [_unpack(l[:, pos]) for l in pk_0]  # (NL, B2)
+                    Qx = jax.tree_util.tree_unflatten(x_tdef, cols[:LX])
+                    Qy = jax.tree_util.tree_unflatten(y_tdef, cols[LX:])
+                    b0 = jax.tree_util.tree_map(lambda t: t[:, 0], bk)
+                    cand = gs.add_affine(b0, (Qx, Qy))
+                    sel = gs.select(valid, cand, b0)
+                    bk = jax.tree_util.tree_map(
+                        lambda t: t[:, None, :], sel
+                    )
+                    return (k + 1, bk)
+
+                _, buckets = jax.lax.while_loop(
+                    lambda s: s[0] < maxrun,
+                    rem_body,
+                    (jnp.int32(R_static), buckets),
+                )
+            else:
+                buckets = jax.lax.cond(
+                    maxrun <= R_static, _chunk_pallas,
+                    lambda _: _accum_all_slow(), None
+                )
         else:
             buckets = _accum_all_slow()
         return None, buckets
