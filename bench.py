@@ -8,10 +8,12 @@ metric set:
   - groth16_prove_s:        end-to-end prove wall-clock, synthetic mult-chain
                             circuit (reference benchmark_groth16.py shape) at
                             ZKSNAKE_BENCH_G16_LOG2N (default 2^17) constraints
-  - plonk_prove_s:          PlonK prove wall-clock at 2^13 gates
+  - plonk_prove_s:          PlonK prove wall-clock, ascending ladder up to
+                            ZKSNAKE_BENCH_PLONK_LOG2N (default 2^15) gates
   - scaling_efficiency_1to8: sharded four-step-NTT wall-clock efficiency on an 8-virtual-
                             device CPU mesh (t1 / (8 * t8)); bounded above by
-                            physical cores / 8 on this 2-core host — it
+                            physical cores / 8 on this 2-core host (the
+                            ceiling-normalized number rides along) — it
                             validates the collective path, not ICI speedup
 
 vs_baseline: ratio against the host pure-Python bigint MSM measured on the
@@ -48,7 +50,7 @@ import time
 
 LOG2N = int(os.environ.get("ZKSNAKE_BENCH_LOG2N", "20"))
 G16_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_G16_LOG2N", "17"))
-PLONK_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_PLONK_LOG2N", "13"))
+PLONK_LOG2N = int(os.environ.get("ZKSNAKE_BENCH_PLONK_LOG2N", "15"))
 HOST_SAMPLE = 1 << 10
 SKIP = set(os.environ.get("ZKSNAKE_BENCH_SKIP", "").split(","))
 BUDGET = float(os.environ.get("ZKSNAKE_BENCH_BUDGET_S", "1500"))
@@ -325,11 +327,18 @@ def _measure_scaling():
             jax.block_until_ready(r)
         times[nd] = (time.time() - t0) / reps
     eff = times[1] / (8 * times[8])
+    cores = os.cpu_count() or 1
+    # 8 virtual devices on `cores` physical cores cap efficiency at cores/8;
+    # the ceiling-normalized number is what the collective path is worth
+    # (VERDICT r4: the raw 0.201 read as a failure when it was ~80% of the
+    # 2-core physical bound)
+    ceiling = min(cores / 8.0, 1.0)
     return {
         "scaling_efficiency_1to8": eff,
+        "scaling_efficiency_vs_physical_ceiling": eff / ceiling,
         "sharded_ntt_t1_s": times[1],
         "sharded_ntt_t8_s": times[8],
-        "physical_cores": os.cpu_count(),
+        "physical_cores": cores,
     }
 
 
@@ -367,6 +376,12 @@ def _run_attempt(name, arg, timeout=600, env_extra=None, cpu_mesh=False):
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
+    # AVX2 ISA cap: without it XLA:CPU persistent-cache entries never replay
+    # (backend/config.py CPU_MAX_ISA_FLAG); applies to every child so TPU
+    # attempts' incidental CPU compiles share the same cache keys
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
     env["ZKSNAKE_ATTEMPT_ALARM_S"] = str(max(int(timeout) - 10, 5))
     if cpu_mesh:
         # pure-CPU jax with 8 virtual devices: drop the axon plugin from
@@ -464,14 +479,14 @@ def main():
     signal.signal(signal.SIGINT, _on_term)
 
     try:
-        # purge a machine-mismatched persistent cache ONCE in the parent so
-        # every child attempt starts against a valid (possibly cold) cache
-        # instead of grinding through another VM's AOT entries
+        # purge a stale-FORMAT persistent cache ONCE in the parent so every
+        # child attempt starts against a valid (possibly cold) cache instead
+        # of grinding through pre-AVX2-cap AOT entries that never replay
         try:
             from zksnake_tpu.backend.config import check_cache_fingerprint
 
             if check_cache_fingerprint():
-                detail["cache_purged_machine_mismatch"] = True
+                detail["cache_purged_stale_format"] = True
         except Exception:
             pass
 
@@ -510,66 +525,76 @@ def main():
         # Caps sized from a measured cold run (2026-08-20, contended 2-core
         # host): MSM cold-compiled + ran in ~4 min; groth16@2^17 blew a 700s
         # cap; ntt@2^20 blew 300s (Domain twiddle build is host-side bigint
-        # work before the compile). Warm-cache reruns are seconds, so the
-        # caps only bind on a cold .jax_cache.
+        # work before the compile). Warm-cache reruns are fast (AVX2-capped
+        # CPU entries replay since round 5), so the caps only bind cold.
         #
-        # Ordering + ladders (VERDICT r3): `scaling` runs FIRST among the
-        # secondary stages — it is CPU-mesh (cannot poison the TPU session),
-        # cheap, and had never been recorded purely for budget reasons.
-        # groth16/plonk each get a degrade ladder like MSM's: a smaller
-        # circuit with a recorded number beats an unrecorded timeout at the
-        # target size.
-        stages = (
-            ("scaling", ((0, 300, 60),), None, True,
-             lambda r, arg: detail.update({
-                 "scaling_efficiency_1to8": round(r["scaling_efficiency_1to8"], 3),
-                 "sharded_ntt_t1_s": round(r["sharded_ntt_t1_s"], 3),
-                 "sharded_ntt_t8_s": round(r["sharded_ntt_t8_s"], 3),
-             })),
-            ("ntt", ((LOG2N, 400, 60),), None, False,
-             lambda r, arg: detail.update(
-                 {"ntt_2e%d_ms" % arg: round(r["ntt_ms"], 2)})),
-            # plonk BEFORE groth16: plonk reliably fits its cap (measured
-            # 2026-08-21: whole cold attempt ~330s at 2^13), while groth16
-            # carries the G2-MSM compile-time risk (PERF.md) and could eat
-            # the whole remaining budget on a cold cache.
-            ("plonk",
-             ((PLONK_LOG2N, 550, 120),
-              (max(PLONK_LOG2N - 2, 8), 400, 100),
-              (max(PLONK_LOG2N - 4, 8), 300, 90)),
-             None, False,
-             lambda r, arg: detail.update({
-                 "plonk_prove_s": round(r["plonk_prove_s"], 3),
-                 "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
-                 "plonk_gates": r["gates"],
-             })),
-            ("groth16",
-             ((G16_LOG2N, 900, 150),
-              (max(G16_LOG2N - 3, 10), 450, 120),
-              (max(G16_LOG2N - 5, 10), 300, 100)),
-             None, False,
-             lambda r, arg: detail.update({
-                 "groth16_prove_s": round(r["groth16_prove_s"], 3),
-                 "groth16_prove_cold_s": round(r.get("groth16_prove_cold_s", 0), 3),
-                 "groth16_setup_s": round(r["groth16_setup_s"], 3),
-                 "groth16_constraints": r["constraints"],
-                 **({"groth16_phases": r["groth16_phases"]} if "groth16_phases" in r else {}),
-             })),
-        )
-        for name, ladder, extra, cpu_mesh, sink in stages:
-            if name in SKIP:
+        # Scheduling (VERDICT r4): prover rungs run ASCENDING and
+        # INTERLEAVED by priority — groth16@12 FIRST among the provers
+        # (four rounds of artifacts had no groth16_prove_s because the 2^17
+        # rung ran first, burned its cap in the G2 compile, and the small
+        # rungs were then skipped for budget). A later rung of a stage only
+        # runs if its smaller rung succeeded (each success overwrites the
+        # recorded number with the larger size).
+        def sink_scaling(r, arg):
+            detail.update({
+                "scaling_efficiency_1to8": round(r["scaling_efficiency_1to8"], 3),
+                "scaling_efficiency_vs_physical_ceiling": round(
+                    r["scaling_efficiency_vs_physical_ceiling"], 3),
+                "physical_cores": r["physical_cores"],
+                "sharded_ntt_t1_s": round(r["sharded_ntt_t1_s"], 3),
+                "sharded_ntt_t8_s": round(r["sharded_ntt_t8_s"], 3),
+            })
+
+        def sink_ntt(r, arg):
+            detail["ntt_2e%d_ms" % arg] = round(r["ntt_ms"], 2)
+
+        def sink_plonk(r, arg):
+            detail.update({
+                "plonk_prove_s": round(r["plonk_prove_s"], 3),
+                "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
+                "plonk_gates": r["gates"],
+            })
+
+        def sink_groth16(r, arg):
+            detail.update({
+                "groth16_prove_s": round(r["groth16_prove_s"], 3),
+                "groth16_prove_cold_s": round(r.get("groth16_prove_cold_s", 0), 3),
+                "groth16_setup_s": round(r["groth16_setup_s"], 3),
+                "groth16_constraints": r["constraints"],
+                **({"groth16_phases": r["groth16_phases"]} if "groth16_phases" in r else {}),
+            })
+
+        sinks = {"scaling": sink_scaling, "ntt": sink_ntt,
+                 "plonk": sink_plonk, "groth16": sink_groth16}
+        cpu_mesh_stages = {"scaling"}
+        # (stage, arg, cap, min_s); dict.fromkeys drops duplicate rungs that
+        # small configured sizes would otherwise produce (ADVICE r4)
+        rungs = list(dict.fromkeys([
+            ("scaling", 0, 300, 60),
+            ("ntt", LOG2N, 400, 60),
+            ("groth16", min(G16_LOG2N, 12), 350, 100),
+            ("plonk", min(PLONK_LOG2N, 13), 550, 120),
+            ("groth16", min(G16_LOG2N, 14), 450, 120),
+            ("plonk", PLONK_LOG2N, 700, 150),
+            ("groth16", G16_LOG2N, 900, 150),
+        ]))
+        failed_stage = set()
+        for name, arg, cap, min_s in rungs:
+            if name in SKIP or name in failed_stage:
                 continue
-            for arg, cap, min_s in ladder:
-                if _remaining() < min_s:
-                    skipped.append(f"{name}_{arg}")
-                    continue
-                r, err = _run_attempt_recovering(
-                    name, arg, timeout=cap, env_extra=extra, cpu_mesh=cpu_mesh
-                )
-                if r is not None:
-                    sink(r, arg)
-                    break
+            if _remaining() < min_s:
+                skipped.append(f"{name}_{arg}")
+                continue
+            r, err = _run_attempt_recovering(
+                name, arg, timeout=cap, cpu_mesh=name in cpu_mesh_stages
+            )
+            if r is not None:
+                sinks[name](r, arg)
+            else:
                 errors[f"{name}_{arg}"] = err
+                # a larger rung of the same stage would hit the same wall
+                # and eat the budget the remaining stages need
+                failed_stage.add(name)
     except _Bailout:
         pass
     finally:

@@ -24,6 +24,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Cap XLA:CPU codegen at AVX2 so persistent-cache entries actually replay
+# (uncapped entries embed +prefer-no-gather/-scatter pseudo-features the
+# AOT loader rejects even on the writing machine — config.CPU_MAX_ISA_FLAG).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_max_isa" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
 
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -50,8 +56,8 @@ if os.environ.get("ZKSNAKE_DEVICE_TESTS", "0") != "1":
     os.environ.setdefault("ZKSNAKE_TPU_DISABLE", "1")
     os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
 
-# Purge a machine-mismatched persistent cache BEFORE any compile reads it
-# (entries written on another VM load + warn + recompile; see
+# Purge a stale-FORMAT persistent cache BEFORE any compile reads it
+# (entries written before the AVX2 ISA cap load + warn + recompile; see
 # backend/config.py::check_cache_fingerprint).
 try:
     from zksnake_tpu.backend.config import check_cache_fingerprint

@@ -54,39 +54,53 @@ CACHE_DIR = os.environ.get(
     "ZKSNAKE_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 )
 
+# XLA:CPU ISA cap for every CPU-backend compile in this codebase. Without it,
+# XLA:CPU AOT cache entries embed avx512-era tuning pseudo-features
+# (+prefer-no-gather / +prefer-no-scatter) that cpu_aot_loader rejects
+# against the REAL host feature list — even on the machine that WROTE the
+# entry (reproduced on jax 0.9.0: a fresh entry warns and recompiles on the
+# very next run). That made warm replay of every CPU-mesh graph a silent
+# full recompile, which is what actually ate the round-2/3/4 multichip
+# dryrun budgets (the round-4 cpuinfo fingerprint provably matched and the
+# grind persisted — MULTICHIP_r04 tail / VERDICT r4). Capping the ISA at
+# AVX2 keeps the compile feature set a subset of any modern x86 host, so
+# entries replay everywhere. All orchestrated entry points (conftest,
+# bench.py, the multichip dryrun) must agree on this flag: it is part of
+# XLA's cache key.
+CPU_MAX_ISA_FLAG = "--xla_cpu_max_isa=AVX2"
+# bump when the required cache entry format changes incompatibly; entries
+# written under a different format string are purged once
+_CACHE_FORMAT = "avx2-v1"
+
+
+def ensure_cpu_xla_flags(env=None):
+    """Append the ISA cap to XLA_FLAGS in `env` (default os.environ).
+    Must run before the process's first jax backend initialization to take
+    effect; safe (no-op) afterwards. Returns the env mapping."""
+    env = os.environ if env is None else env
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        env["XLA_FLAGS"] = (flags + " " + CPU_MAX_ISA_FLAG).strip()
+    return env
+
 
 def check_cache_fingerprint(cache_dir=None):
-    """Purge the persistent compile cache when the host machine changed.
+    """Purge the persistent compile cache when its entry FORMAT is stale.
 
-    XLA-CPU AOT cache entries embed the COMPILING machine's CPU features;
-    a workspace carried to a different VM ships hundreds of MB of entries
-    that each load, warn (cpu_aot_loader "machine type ... doesn't match"),
-    and recompile anyway — the grind that ate the round-2/3 multichip-dryrun
-    budgets (MULTICHIP_r03 tail). A MACHINE_FINGERPRINT file (hash of
-    /proc/cpuinfo flags + jax version) written alongside the entries detects
-    the move; on mismatch — or when entries exist with no fingerprint, i.e.
-    unverifiable provenance — the whole cache is removed. Runs once per
-    process from jax_available(); callers outside the library (bench.py,
-    dryrun) may call it directly before their first compile."""
-    import hashlib
+    With the AVX2 ISA cap (see CPU_MAX_ISA_FLAG) cache entries are portable
+    across hosts, so the round-4 machine-fingerprint purge is gone — a VM
+    move no longer throws away the (VM-independent) TPU remote-compile
+    entries (ADVICE r4). The only purge trigger left is a cache written
+    before the cap existed: those CPU entries would load, warn
+    (cpu_aot_loader), and silently recompile forever. A CACHE_FORMAT marker
+    alongside the entries records the format; entries with a missing or
+    mismatched marker are removed once. Runs once per process from
+    jax_available(); bench.py and the dryrun call it directly before their
+    first compile."""
     import shutil
 
     cache_dir = os.path.abspath(cache_dir or CACHE_DIR)
-    try:
-        flags = ""
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split()[2:]))
-                    break
-        import jax
-
-        fp = hashlib.sha256(
-            (flags + "|" + jax.__version__).encode()
-        ).hexdigest()[:32]
-    except Exception:  # pragma: no cover - no /proc or no jax
-        return False
-    path = os.path.join(cache_dir, "MACHINE_FINGERPRINT")
+    path = os.path.join(cache_dir, "CACHE_FORMAT")
     purged = False
     try:
         if os.path.isdir(cache_dir):
@@ -95,14 +109,15 @@ def check_cache_fingerprint(cache_dir=None):
                 with open(path) as f:
                     old = f.read().strip()
             has_entries = any(
-                e != "MACHINE_FINGERPRINT" for e in os.listdir(cache_dir)
+                e not in ("CACHE_FORMAT", "MACHINE_FINGERPRINT")
+                for e in os.listdir(cache_dir)
             )
-            if old != fp and has_entries:
+            if old != _CACHE_FORMAT and has_entries:
                 shutil.rmtree(cache_dir, ignore_errors=True)
                 purged = True
         os.makedirs(cache_dir, exist_ok=True)
         with open(path, "w") as f:
-            f.write(fp)
+            f.write(_CACHE_FORMAT)
     except Exception:  # pragma: no cover - read-only fs etc.
         pass
     return purged
@@ -116,6 +131,7 @@ def jax_available():
             import jax
 
             try:
+                ensure_cpu_xla_flags()
                 check_cache_fingerprint()
                 jax.config.update("jax_compilation_cache_dir", os.path.abspath(CACHE_DIR))
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -432,7 +432,11 @@ def msm_pippenger(gs, P, slimbs, c=13):
                     lambda t_: t_.reshape(t_.shape[0], G, B2), buckets
                 )
 
-            if _os.environ.get("ZKSNAKE_MSM_REMAINDER", "0") == "1":
+            # The remainder pass assumes one window per launch (the rem
+            # while_loop reads window 0 only); G is pinned to 1 above, but
+            # if multi-window launches are ever revived the flag degrades
+            # to the cond formulation instead of tracing wrong results.
+            if _os.environ.get("ZKSNAKE_MSM_REMAINDER", "0") == "1" and G == 1:
                 # Remainder-pass formulation (flag-gated): ALWAYS run the
                 # pallas accumulate for ranks < R_static, then finish any
                 # over-budget runs with a while_loop that usually executes
@@ -443,7 +447,6 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 # R_static: overflow now costs only the overflowing rounds
                 # instead of a full re-accumulation.
                 buckets = _chunk_pallas(None)
-                assert G == 1
                 pk_0 = [l[:, 0] for l in sleaves]  # (PL, n) packed planes
 
                 def rem_body(state):

@@ -299,6 +299,10 @@ def _ntt(dom: Domain, x, tw, flat=None, core=None):
     import os
 
     core = core or os.environ.get("ZKSNAKE_NTT_CORE", "auto")
+    if core not in ("auto", "flat", "cg", "unrolled"):
+        raise ValueError(
+            f"ZKSNAKE_NTT_CORE={core!r}: expected auto|flat|cg|unrolled"
+        )
     if core == "unrolled":
         return _ntt_core(dom, x, tw)
     if core == "cg":
