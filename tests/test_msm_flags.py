@@ -46,6 +46,13 @@ def test_msm_flag_variants_match_oracle(remainder, gather, monkeypatch):
     n = 64
     pts = [ec_bn254.g1() * rng.randrange(1, 1 << 20) for _ in range(n)]
     ss = [rng.randrange(1 << 31) for _ in range(n)]
+    if remainder == "1":
+        # 30 identical scalars make every window carry a 30-long bucket run,
+        # past the static round budget (R = mean + slack = 24 at this
+        # geometry) — so the remainder while_loop actually executes its
+        # overflow rounds instead of tripping zero times
+        for i in range(30):
+            ss[i] = ss[0]
     P = gs.points_to_device(pts)
     slimbs = jnp.asarray(_scalar_limbs(ss, curve.r, fr.nl)[:2])
     res = jax.jit(lambda P, s: msm_pippenger(gs, P, s, 5))(P, slimbs)

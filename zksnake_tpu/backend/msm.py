@@ -83,7 +83,10 @@ class _Kernels:
         from . import pallas_field
 
         # the traced graph depends on whether the pallas chunked path is
-        # active (window group size G), so key the jit cache on it
+        # active (window group size G) and on the env-selected formulation
+        # flags, so key the jit cache on all of them
+        import os
+
         key = (
             gs.curve.name,
             gs.group,
@@ -91,6 +94,9 @@ class _Kernels:
             nbits,
             c,
             pallas_field.pallas_available() and n >= PALLAS_MSM_MIN,
+            os.environ.get("ZKSNAKE_MSM_REMAINDER", MSM_REMAINDER_DEFAULT),
+            os.environ.get("ZKSNAKE_MSM_GATHER", MSM_GATHER_DEFAULT),
+            os.environ.get("ZKSNAKE_MSM_RSIGMA", ""),
         )
         if key not in cls._pip:
 
@@ -196,6 +202,17 @@ PALLAS_LANE_CAP_G1 = 4096
 def _lane_cap(group):
     base = int(_os.environ.get("ZKSNAKE_PALLAS_LANE_CAP", PALLAS_LANE_CAP_G1))
     return base if group == 1 else base // 2
+
+
+# Formulation defaults (env vars override). Promoted once measured on
+# hardware; see PERF.md round-5 notes.
+MSM_REMAINDER_DEFAULT = "0"
+MSM_GATHER_DEFAULT = "cols"
+MSM_RSIGMA_REMAINDER_DEFAULT = "1.25"
+
+
+def _flag(name, default):
+    return _os.environ.get(name, default)
 
 
 def msm_pippenger(gs, P, slimbs, c=13):
@@ -368,13 +385,28 @@ def msm_pippenger(gs, P, slimbs, c=13):
             # (measured 2.7 / 3.2 GB/s on v5e) — and the weighted reduction
             # runs as a compact jnp fori graph. Degenerate digit skew (a run
             # longer than R_static) falls back to the while_loop + jnp path.
-            # static round budget: mean run length + 5.5 sigma of the
-            # per-bucket binomial (p(any bucket overflows) ~ 1e-4 per
-            # window at 2^20/c=13; overflow falls back to the while_loop
-            # path — correct, just slower). The old flat +129 slack spent
-            # ~50% extra rounds; this spends ~34% at 2^20.
+            # static round budget: mean run length + a sigma-scaled slack of
+            # the per-bucket binomial. In the cond formulation the slack
+            # must make overflow RARE (5.5 sigma: p(any bucket overflows)
+            # ~ 1e-4 per window at 2^20/c=13, because overflow re-runs the
+            # whole window through the while_loop path). The remainder-pass
+            # formulation only pays (maxrun - R) extra masked adds on
+            # overflow, so it runs a much smaller budget (default 1.25
+            # sigma: table gather and kernel rounds — the two dominant MSM
+            # stages, PERF.md — both scale with R). Override via
+            # ZKSNAKE_MSM_RSIGMA.
+            use_remainder = (
+                _flag("ZKSNAKE_MSM_REMAINDER", MSM_REMAINDER_DEFAULT) == "1"
+                and G == 1
+            )
+            sigma = float(
+                _flag(
+                    "ZKSNAKE_MSM_RSIGMA",
+                    MSM_RSIGMA_REMAINDER_DEFAULT if use_remainder else "5.5",
+                )
+            )
             mean_run = max(n // B2, 1)
-            R_static = int(min(n, mean_run + max(16, int(5.5 * mean_run**0.5) + 1)))
+            R_static = int(min(n, mean_run + max(16, int(sigma * mean_run**0.5) + 1)))
             R_static = -(-R_static // 8) * 8
 
             def _chunk_pallas(_):
@@ -405,7 +437,7 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 #  rows: transpose the source once, then take along axis=0
                 #    — each index pulls a CONTIGUOUS 4*NP-byte row, then a
                 #    cheap (0,2,1) minor transpose.
-                if _os.environ.get("ZKSNAKE_MSM_GATHER", "cols") == "rows":
+                if _flag("ZKSNAKE_MSM_GATHER", MSM_GATHER_DEFAULT) == "rows":
                     srcT = jnp.transpose(src, (1, 0))  # (G*n+R, NP)
                     kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
                     pos = (kcol + starts_flat[None, :]).reshape(-1)
@@ -436,7 +468,7 @@ def msm_pippenger(gs, P, slimbs, c=13):
             # while_loop reads window 0 only); G is pinned to 1 above, but
             # if multi-window launches are ever revived the flag degrades
             # to the cond formulation instead of tracing wrong results.
-            if _os.environ.get("ZKSNAKE_MSM_REMAINDER", "0") == "1" and G == 1:
+            if use_remainder:
                 # Remainder-pass formulation (flag-gated): ALWAYS run the
                 # pallas accumulate for ranks < R_static, then finish any
                 # over-budget runs with a while_loop that usually executes
