@@ -376,12 +376,12 @@ def _run_attempt(name, arg, timeout=600, env_extra=None, cpu_mesh=False):
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
-    # AVX2 ISA cap: without it XLA:CPU persistent-cache entries never replay
-    # (backend/config.py CPU_MAX_ISA_FLAG); applies to every child so TPU
-    # attempts' incidental CPU compiles share the same cache keys
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_cpu_max_isa" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    # CPU compile flags (replayable cache entries + sane compile times,
+    # config.CPU_XLA_FLAGS); applied to every child so TPU attempts'
+    # incidental CPU compiles share the same cache keys
+    from zksnake_tpu.backend.config import ensure_cpu_xla_flags
+
+    ensure_cpu_xla_flags(env)
     env["ZKSNAKE_ATTEMPT_ALARM_S"] = str(max(int(timeout) - 10, 5))
     if cpu_mesh:
         # pure-CPU jax with 8 virtual devices: drop the axon plugin from

@@ -24,12 +24,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Cap XLA:CPU codegen at AVX2 so persistent-cache entries actually replay
-# (uncapped entries embed +prefer-no-gather/-scatter pseudo-features the
-# AOT loader rejects even on the writing machine — config.CPU_MAX_ISA_FLAG).
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_cpu_max_isa" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+# CPU compile flags (AVX2 ISA cap so persistent-cache entries actually
+# replay + legacy emitters so the big u64-montmul modules compile in
+# minutes, not hours — config.CPU_XLA_FLAGS has the full story). config
+# does not import jax at module level, so this is safe pre-jax.
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from zksnake_tpu.backend.config import ensure_cpu_xla_flags as _ecf
+
+_ecf()
 
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

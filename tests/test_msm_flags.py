@@ -65,3 +65,40 @@ def test_msm_flag_variants_match_oracle(remainder, gather, monkeypatch):
         term = pt * s
         want = term if want is None else want + term
     assert got == want
+
+
+def test_g2_msm_dna_route_matches_oracle(monkeypatch):
+    """ZKSNAKE_G2_MSM=dna — the double-and-add route the TPU backend uses
+    for G2 (the G2 Pippenger module is a remote-compiler pathology; see
+    backend/msm.py::_g2_route_dna). n=6 also exercises the identity-pad to
+    the next power of two inside _msm_dna."""
+    import numpy as np
+    import jax
+
+    monkeypatch.setenv("ZKSNAKE_G2_MSM", "dna")
+    import jax.numpy as jnp
+
+    from zksnake_tpu.backend.msm import msm_device_raw, _scalar_limbs
+    from zksnake_tpu.backend.field import FieldSpec
+    from zksnake_tpu.backend.curve_ops import get_group_spec
+    from zksnake_tpu.curves import ec_bn254
+
+    curve = ec_bn254._curve
+    gs = get_group_spec(curve, 2)
+    fr = FieldSpec.get(curve.r)
+    rng = random.Random(21)
+    n = 6
+    pts = [ec_bn254.g2() * rng.randrange(1, 1 << 16) for _ in range(n)]
+    ss = [rng.randrange(1 << 15) for _ in range(n)]
+    P = gs.points_to_device(pts)
+    slimbs = jnp.asarray(_scalar_limbs(ss, curve.r, fr.nl)[:1])
+    res = msm_device_raw(gs, P, slimbs)
+    got = gs.points_from_device(
+        jax.tree_util.tree_map(lambda t: np.asarray(t)[..., None], res),
+        ec_bn254.PointG2,
+    )[0]
+    want = None
+    for pt, s in zip(pts, ss):
+        term = pt * s
+        want = term if want is None else want + term
+    assert got == want

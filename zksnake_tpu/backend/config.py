@@ -54,33 +54,45 @@ CACHE_DIR = os.environ.get(
     "ZKSNAKE_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 )
 
-# XLA:CPU ISA cap for every CPU-backend compile in this codebase. Without it,
-# XLA:CPU AOT cache entries embed avx512-era tuning pseudo-features
-# (+prefer-no-gather / +prefer-no-scatter) that cpu_aot_loader rejects
-# against the REAL host feature list — even on the machine that WROTE the
-# entry (reproduced on jax 0.9.0: a fresh entry warns and recompiles on the
-# very next run). That made warm replay of every CPU-mesh graph a silent
-# full recompile, which is what actually ate the round-2/3/4 multichip
-# dryrun budgets (the round-4 cpuinfo fingerprint provably matched and the
-# grind persisted — MULTICHIP_r04 tail / VERDICT r4). Capping the ISA at
-# AVX2 keeps the compile feature set a subset of any modern x86 host, so
-# entries replay everywhere. All orchestrated entry points (conftest,
-# bench.py, the multichip dryrun) must agree on this flag: it is part of
-# XLA's cache key.
+# XLA:CPU flags for every CPU-backend compile in this codebase (all
+# orchestrated entry points — conftest, bench.py, the multichip dryrun —
+# must agree on them: they are part of XLA's cache key).
+#
+# --xla_cpu_max_isa=AVX2: without the cap, XLA:CPU AOT cache entries embed
+#   avx512-era tuning pseudo-features (+prefer-no-gather/-scatter) that
+#   cpu_aot_loader rejects against the REAL host feature list — even on the
+#   machine that WROTE the entry (reproduced on jax 0.9.0: a fresh entry
+#   warns and recompiles on the very next run). That made warm replay of
+#   every CPU-mesh graph a silent full recompile, which is what actually
+#   ate the round-2/3/4 multichip dryrun budgets (the round-4 cpuinfo
+#   fingerprint provably matched and the grind persisted — MULTICHIP_r04).
+#   Capping at AVX2 keeps compile features a subset of any modern x86 host,
+#   so entries replay everywhere.
+# --xla_cpu_use_fusion_emitters=false: under the AVX2 cap the new fusion
+#   emitters hit pathological LLVM codegen on the big fused u64-montmul
+#   loops — the G2 fixed-base build module compiled >50 min (vs 149 s
+#   uncapped). The legacy emitters compile the same module in 209 s under
+#   AVX2 and the entries still replay cleanly (measured 2026-08-21).
 CPU_MAX_ISA_FLAG = "--xla_cpu_max_isa=AVX2"
+CPU_XLA_FLAGS = (
+    "--xla_cpu_max_isa=AVX2 --xla_cpu_use_fusion_emitters=false"
+)
 # bump when the required cache entry format changes incompatibly; entries
 # written under a different format string are purged once
 _CACHE_FORMAT = "avx2-v1"
 
 
 def ensure_cpu_xla_flags(env=None):
-    """Append the ISA cap to XLA_FLAGS in `env` (default os.environ).
-    Must run before the process's first jax backend initialization to take
-    effect; safe (no-op) afterwards. Returns the env mapping."""
+    """Append the CPU compile flags to XLA_FLAGS in `env` (default
+    os.environ). Must run before the process's first jax backend
+    initialization to take effect; safe (no-op) afterwards. Returns the
+    env mapping."""
     env = os.environ if env is None else env
     flags = env.get("XLA_FLAGS", "")
-    if "xla_cpu_max_isa" not in flags:
-        env["XLA_FLAGS"] = (flags + " " + CPU_MAX_ISA_FLAG).strip()
+    for f in CPU_XLA_FLAGS.split():
+        if f.split("=")[0] not in flags:
+            flags = (flags + " " + f).strip()
+    env["XLA_FLAGS"] = flags
     return env
 
 

@@ -119,6 +119,20 @@ class _Kernels:
             cls._batch[key] = kernel
         return cls._batch[key]
 
+    _dna = {}
+
+    @classmethod
+    def dna(cls, gs, n, nbits):
+        key = (gs.curve.name, gs.group, n, nbits)
+        if key not in cls._dna:
+
+            @jax.jit
+            def kernel(P, slimbs):
+                return _msm_dna(gs, P, slimbs)
+
+            cls._dna[key] = kernel
+        return cls._dna[key]
+
 
 # ------------------------------------------------------------------
 # Pippenger bucket MSM (signed digits + mixed additions)
@@ -591,18 +605,54 @@ def _pick_window(n):
     return 7
 
 
+def _g2_route_dna(gs, n):
+    """True when a G2 MSM should run the double-and-add + tree-reduce graph
+    instead of Pippenger. On the XLA-TPU remote compiler the full G2
+    Pippenger module — pallas AND jnp formulations, remainder-pass included
+    — compiles pathologically (>80 min / compiler-transport EOF at 2^17,
+    measured rounds 4-5; every PIECE compiles in 41-235 s alone, so the
+    blowup is superlinear in module size for the Fq2 graphs). The
+    double-and-add module is two fori bodies and compiles in minutes; its
+    runtime (~2·nbits point-ops per lane, fully batched) costs the prover's
+    single B2 MSM ~tens of seconds at bench sizes — a measured stopgap
+    until a split-phase G2 Pippenger (one jit per stage, dispatched per
+    window) lands. Override: ZKSNAKE_G2_MSM=auto|pippenger|dna."""
+    mode = _os.environ.get("ZKSNAKE_G2_MSM", "auto")
+    if mode == "pippenger":
+        return False
+    if mode == "dna":
+        return True
+    if gs.group != 2:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _msm_dna(gs, P, slimbs):
+    """MSM via batched double-and-add + log-depth tree reduction (identity-
+    padded to a power of two; Z = 0 pad lanes never contribute)."""
+    n = slimbs.shape[1]
+    nbits = slimbs.shape[0] * 16
+    n2 = _next_pow2(n)
+    if n2 != n:
+        from .sharding import pad_msm_to
+
+        P, slimbs = pad_msm_to(gs, P, slimbs, n2)
+    acc = _double_and_add(gs, P, slimbs, nbits)
+    return _tree_reduce(gs, acc, n2)
+
+
 def msm_device(curve, group, points, scalars, point_cls):
     """Full MSM on device from host points/ints; returns a host point."""
     gs = get_group_spec(curve, group)
     fr = FieldSpec.get(curve.r)
     n = len(points)
     slimbs = jnp.asarray(_scalar_limbs(scalars, curve.r, fr.nl))
-    nbits = fr.nl * 16
 
     P = gs.points_to_device(points)
-    c = _pick_window(n)
-    kernel = _Kernels.pippenger(gs, n, nbits, c)
-    result = kernel(P, slimbs)
+    result = msm_device_raw(gs, P, slimbs)
     result = jax.tree_util.tree_map(lambda t: t[..., None], result)
     return gs.points_from_device(result, point_cls)[0]
 
@@ -612,6 +662,8 @@ def msm_device_raw(gs, P, slimbs):
     P coords (NL, n); slimbs (SL, n). Returns projective limb tensors."""
     n = slimbs.shape[1]
     nbits = slimbs.shape[0] * 16
+    if _g2_route_dna(gs, n):
+        return _Kernels.dna(gs, n, nbits)(P, slimbs)
     c = _pick_window(n)
     return _Kernels.pippenger(gs, n, nbits, c)(P, slimbs)
 
