@@ -218,11 +218,15 @@ def _lane_cap(group):
     return base if group == 1 else base // 2
 
 
-# Formulation defaults (env vars override). Promoted once measured on
-# hardware; see PERF.md round-5 notes.
-MSM_REMAINDER_DEFAULT = "0"
+# Formulation defaults (env vars override), promoted from the round-5
+# hardware A/B at 2^20/c=13 (PERF.md): cond-formulation baseline 368.7k
+# pts/s; remainder-pass at sigma 1.25 (R=280) 382.2k; remainder at
+# sigma 2.5 (R=304) 395.0k — overflow rounds are cheap but not free, so
+# the optimum slack sits above 1.25 sigma. rows-gather alone measured
+# 378.4k; see PERF.md for the combined-variant log.
+MSM_REMAINDER_DEFAULT = "1"
 MSM_GATHER_DEFAULT = "cols"
-MSM_RSIGMA_REMAINDER_DEFAULT = "1.25"
+MSM_RSIGMA_REMAINDER_DEFAULT = "2.5"
 
 
 def _flag(name, default):
