@@ -569,14 +569,17 @@ def main():
         cpu_mesh_stages = {"scaling"}
         # (stage, arg, cap, min_s); dict.fromkeys drops duplicate rungs that
         # small configured sizes would otherwise produce (ADVICE r4)
+        # caps from round-5 measured warm-cache runs: groth16@12 whole
+        # attempt ~330s (setup replay 242s dominates), so its cap leaves
+        # headroom; larger rungs scale the setup host work ~linearly
         rungs = list(dict.fromkeys([
             ("scaling", 0, 300, 60),
             ("ntt", LOG2N, 400, 60),
-            ("groth16", min(G16_LOG2N, 12), 350, 100),
+            ("groth16", min(G16_LOG2N, 12), 450, 100),
             ("plonk", min(PLONK_LOG2N, 13), 550, 120),
-            ("groth16", min(G16_LOG2N, 14), 450, 120),
+            ("groth16", min(G16_LOG2N, 14), 600, 120),
             ("plonk", PLONK_LOG2N, 700, 150),
-            ("groth16", G16_LOG2N, 900, 150),
+            ("groth16", G16_LOG2N, 1000, 150),
         ]))
         failed_stage = set()
         for name, arg, cap, min_s in rungs:

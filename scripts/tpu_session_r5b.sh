@@ -18,4 +18,7 @@ run msm20_s35 env ZKSNAKE_MSM_RSIGMA=3.5 ZKSNAKE_ATTEMPT_ALARM_S=700 timeout 720
 run msm20_s45 env ZKSNAKE_MSM_RSIGMA=4.5 ZKSNAKE_ATTEMPT_ALARM_S=700 timeout 720 python -u bench.py --attempt msm 20
 # rows gather on top of the remainder default
 run msm20_rows_rem env ZKSNAKE_MSM_GATHER=rows ZKSNAKE_ATTEMPT_ALARM_S=700 timeout 720 python -u bench.py --attempt msm 20
+# MXU montmul inside the bucket kernel (microbench: 137.5M vs 110.3M
+# muls/s over CIOS) — full-MSM adoption check, oracle-verified
+run msm20_mxu env ZKSNAKE_MXU_MONTMUL=1 ZKSNAKE_ATTEMPT_ALARM_S=700 timeout 720 python -u bench.py --attempt msm 20
 echo "=== session B done ($(date +%H:%M:%S)) ===" >> "$LOG"
