@@ -549,6 +549,8 @@ def main():
             detail["ntt_2e%d_ms" % arg] = round(r["ntt_ms"], 2)
 
         def sink_plonk(r, arg):
+            if r["gates"] < detail.get("plonk_gates", 0):
+                return  # keep the largest recorded size
             detail.update({
                 "plonk_prove_s": round(r["plonk_prove_s"], 3),
                 "plonk_prove_cold_s": round(r.get("plonk_prove_cold_s", 0), 3),
@@ -556,6 +558,8 @@ def main():
             })
 
         def sink_groth16(r, arg):
+            if r["constraints"] < detail.get("groth16_constraints", 0):
+                return  # keep the largest recorded size
             detail.update({
                 "groth16_prove_s": round(r["groth16_prove_s"], 3),
                 "groth16_prove_cold_s": round(r.get("groth16_prove_cold_s", 0), 3),
@@ -570,16 +574,18 @@ def main():
         # (stage, arg, cap, min_s); dict.fromkeys drops duplicate rungs that
         # small configured sizes would otherwise produce (ADVICE r4)
         # caps from round-5 measured warm-cache runs: groth16@12 whole
-        # attempt ~330s (setup replay 242s dominates), so its cap leaves
-        # headroom; larger rungs scale the setup host work ~linearly
+        # attempt ~330s (setup replay 242s dominates), @17 ~440s warm;
+        # the TOP groth16 rung runs right after the small-rung insurance
+        # so a 1500s budget records the flagship 2^17 number (the 14 rung
+        # and plonk@15 — both already measured in PERF.md — yield to it)
         rungs = list(dict.fromkeys([
             ("scaling", 0, 300, 60),
             ("ntt", LOG2N, 400, 60),
             ("groth16", min(G16_LOG2N, 12), 450, 100),
             ("plonk", min(PLONK_LOG2N, 13), 550, 120),
-            ("groth16", min(G16_LOG2N, 14), 600, 120),
-            ("plonk", PLONK_LOG2N, 700, 150),
             ("groth16", G16_LOG2N, 1000, 150),
+            ("plonk", PLONK_LOG2N, 700, 150),
+            ("groth16", min(G16_LOG2N, 14), 600, 120),
         ]))
         failed_stage = set()
         for name, arg, cap, min_s in rungs:
