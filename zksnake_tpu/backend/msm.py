@@ -219,14 +219,15 @@ def _lane_cap(group):
 
 
 # Formulation defaults (env vars override), promoted from the round-5
-# hardware A/B at 2^20/c=13 (PERF.md): cond-formulation baseline 368.7k
-# pts/s; remainder-pass at sigma 1.25 (R=280) 382.2k; remainder at
-# sigma 2.5 (R=304) 395.0k — overflow rounds are cheap but not free, so
-# the optimum slack sits above 1.25 sigma. rows-gather alone measured
-# 378.4k; see PERF.md for the combined-variant log.
+# hardware sweep at 2^20/c=13 (PERF.md): cond-formulation baseline
+# 368.7k pts/s; remainder sigma sweep on cols peaked at sigma 3.5
+# (382.2k @ 1.25 / 395.0k @ 2.5 / 398.6k @ 3.5 / 393.8k @ 4.5 — the
+# overflow while_loop rounds are cheap but not free); rows-gather
+# composes (+~2%): rows+2.5 = 401.9k, and the promoted combination
+# rows+3.5 measured 406.1k pts/s (2.582 s, oracle-checked).
 MSM_REMAINDER_DEFAULT = "1"
-MSM_GATHER_DEFAULT = "cols"
-MSM_RSIGMA_REMAINDER_DEFAULT = "2.5"
+MSM_GATHER_DEFAULT = "rows"
+MSM_RSIGMA_REMAINDER_DEFAULT = "3.5"
 
 
 def _flag(name, default):

@@ -97,14 +97,20 @@ def _compiled(nl, p_limbs_key, pinv, interpret, variant="cios"):
         from .field import FieldSpec
         from .mxu_field import reduction_mats_dev
 
-        pmat, ppmat = reduction_mats_dev(FieldSpec.get(p))
+        mat_shapes = [m.shape for m in reduction_mats_dev(FieldSpec.get(p))]
         mat_specs = [
-            pl.BlockSpec(pmat.shape, lambda i: (0, 0)),
-            pl.BlockSpec(ppmat.shape, lambda i: (0, 0)),
+            pl.BlockSpec(s, lambda i: (0, 0)) for s in mat_shapes
         ]
 
         @jax.jit
         def run(a, b):
+            # the matrices MUST be materialized inside this trace: this
+            # `run` is cached across callers by the enclosing lru_cache, and
+            # device arrays created during whatever trace first built it
+            # would leak into every later caller's trace (measured:
+            # UnexpectedTracerError from the MSM suffix reduction when the
+            # first call came from inside a fori body)
+            pmat, ppmat = reduction_mats_dev(FieldSpec.get(p))
             m = a.shape[1]
             grid = m // BLOCK
             return pl.pallas_call(
