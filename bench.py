@@ -581,10 +581,10 @@ def main():
         rungs = list(dict.fromkeys([
             ("scaling", 0, 300, 60),
             ("ntt", LOG2N, 400, 60),
-            ("groth16", min(G16_LOG2N, 12), 450, 100),
+            ("groth16", min(G16_LOG2N, 12), 550, 100),
             ("plonk", min(PLONK_LOG2N, 13), 550, 120),
-            ("groth16", G16_LOG2N, 1000, 150),
-            ("plonk", PLONK_LOG2N, 700, 150),
+            ("groth16", G16_LOG2N, 1000, 400),
+            ("plonk", PLONK_LOG2N, 700, 350),
             ("groth16", min(G16_LOG2N, 14), 600, 120),
         ]))
         failed_stage = set()
@@ -601,9 +601,14 @@ def main():
                 sinks[name](r, arg)
             else:
                 errors[f"{name}_{arg}"] = err
-                # a larger rung of the same stage would hit the same wall
-                # and eat the budget the remaining stages need
-                failed_stage.add(name)
+                # a REAL failure (crash, oracle mismatch) would repeat at a
+                # larger size — block the stage. A timeout is a slowness
+                # signal (e.g. a contended or cold box): the larger rung may
+                # still fit its own (bigger) cap, and the raised min_s
+                # budget gates keep a cold box from burning the whole
+                # budget on doomed attempts.
+                if not (err and "imeout" in err):
+                    failed_stage.add(name)
     except _Bailout:
         pass
     finally:

@@ -453,9 +453,10 @@ def msm_pippenger(gs, P, slimbs, c=13):
                 #  cols (round-3 default): take along axis=1 of (NP, G*n) —
                 #    each index pulls a STRIDED NP-element column (measured
                 #    2.9 GB/s end to end).
-                #  rows: transpose the source once, then take along axis=0
-                #    — each index pulls a CONTIGUOUS 4*NP-byte row, then a
-                #    cheap (0,2,1) minor transpose.
+                #  rows (round-5 default, +2% whole-MSM): transpose the
+                #    source once, then take along axis=0 — each index pulls
+                #    a CONTIGUOUS 4*NP-byte row, then a cheap (0,2,1) minor
+                #    transpose.
                 if _flag("ZKSNAKE_MSM_GATHER", MSM_GATHER_DEFAULT) == "rows":
                     srcT = jnp.transpose(src, (1, 0))  # (G*n+R, NP)
                     kcol = jnp.arange(R_static, dtype=jnp.int32)[:, None]
